@@ -1,0 +1,11 @@
+from .geometry import bbox_overlaps
+from .transforms import (bbox2delta, delta2bbox, bbox_flip, bbox_mapping,
+                         bbox_mapping_back, distance2bbox, bbox2result)
+from .assigners import MaxIoUAssigner, assign_max_iou
+from .samplers import PseudoSampler
+
+__all__ = [
+    "bbox_overlaps", "bbox2delta", "delta2bbox", "bbox_flip", "bbox_mapping",
+    "bbox_mapping_back", "distance2bbox", "bbox2result", "MaxIoUAssigner",
+    "assign_max_iou", "PseudoSampler",
+]

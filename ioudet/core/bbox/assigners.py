@@ -1,0 +1,123 @@
+"""Fixed-shape max-IoU target assignment.
+
+Re-implements the reference's assignment semantics (ref:
+mmdet/core/bbox/assigners/max_iou_assigner.py (MaxIoUAssigner.assign,
+.assign_wrt_overlaps)) without ``nonzero``/boolean indexing so the whole
+thing jits with static shapes:
+
+  1. all anchors start as ignore (-1);
+  2. anchors whose best IoU is in ``[0, neg_iou_thr)`` become background (0);
+  3. anchors whose best IoU >= ``pos_iou_thr`` get that gt (index+1);
+  4. sequentially over gts: every anchor tying the gt's max IoU
+     (``gt_max_assign_all``) is forced positive for that gt when the max is
+     >= ``min_pos_iou`` — later gts overwrite earlier ones, matching the
+     reference's Python loop order;
+  5. optional ignore regions: anchors with IoF > ``ignore_iof_thr`` against
+     any ignore box are reset to -1.
+
+Padded (invalid) gts and invalid anchors are handled by masking their
+overlaps to -1 before any max, which reproduces "they were never there".
+RetinaNet config: pos 0.5 / neg 0.4 / min_pos_iou 0 / ignore_iof_thr -1.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    gt_inds: jnp.ndarray       # (A,) int32 in {-1, 0, 1..G}
+    max_overlaps: jnp.ndarray  # (A,) float32 (masked entries = -1)
+    labels: jnp.ndarray        # (A,) int32 category of assigned gt (0 if none)
+
+
+def assign_max_iou(overlaps: jnp.ndarray,
+                   gt_valid: jnp.ndarray,
+                   anchor_valid: jnp.ndarray,
+                   gt_labels: Optional[jnp.ndarray] = None,
+                   pos_iou_thr: float = 0.5,
+                   neg_iou_thr: float = 0.4,
+                   min_pos_iou: float = 0.0,
+                   gt_max_assign_all: bool = True) -> AssignResult:
+    """Assign from a precomputed (G, A) overlap matrix (gt-major, like the ref).
+
+    gt_valid: (G,) bool — False rows are padding.
+    anchor_valid: (A,) bool — False anchors excluded entirely.
+    gt_labels: (G,) int32 1-based category ids (optional).
+    """
+    overlaps = jnp.asarray(overlaps)
+    gt_valid = jnp.asarray(gt_valid)
+    anchor_valid = jnp.asarray(anchor_valid)
+    if gt_labels is not None:
+        gt_labels = jnp.asarray(gt_labels)
+    G, A = overlaps.shape
+    neg_inf = jnp.float32(-1.0)
+    masked = jnp.where(gt_valid[:, None] & anchor_valid[None, :], overlaps, neg_inf)
+
+    max_overlaps = jnp.max(masked, axis=0)          # (A,)
+    argmax_overlaps = jnp.argmax(masked, axis=0)    # (A,)
+    gt_max_overlaps = jnp.max(masked, axis=1)       # (G,)
+
+    assigned = jnp.full((A,), -1, dtype=jnp.int32)
+    assigned = jnp.where((max_overlaps >= 0) & (max_overlaps < neg_iou_thr),
+                         0, assigned)
+    assigned = jnp.where(max_overlaps >= pos_iou_thr,
+                         argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+    # step 4: force each gt's best anchor(s) positive, sequential later-wins
+    def body(i, assigned):
+        ok = gt_valid[i] & (gt_max_overlaps[i] >= min_pos_iou)
+        if gt_max_assign_all:
+            hit = masked[i, :] == gt_max_overlaps[i]
+        else:
+            hit = jnp.arange(A) == jnp.argmax(masked[i, :])
+        hit = hit & anchor_valid & ok
+        return jnp.where(hit, jnp.int32(i + 1), assigned)
+
+    assigned = jax.lax.fori_loop(0, G, body, assigned)
+
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, G - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
+    else:
+        labels = jnp.zeros((A,), dtype=jnp.int32)
+    return AssignResult(assigned, max_overlaps, labels)
+
+
+class MaxIoUAssigner:
+    """Config-facing wrapper computing overlaps then delegating to
+    :func:`assign_max_iou`.  Signature mirrors the reference class."""
+
+    def __init__(self, pos_iou_thr: float, neg_iou_thr: float,
+                 min_pos_iou: float = 0.0, gt_max_assign_all: bool = True,
+                 ignore_iof_thr: float = -1.0):
+        self.pos_iou_thr = pos_iou_thr
+        self.neg_iou_thr = neg_iou_thr
+        self.min_pos_iou = min_pos_iou
+        self.gt_max_assign_all = gt_max_assign_all
+        self.ignore_iof_thr = ignore_iof_thr
+
+    def assign(self, bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray, anchor_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None,
+               gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+               gt_ignore_valid: Optional[jnp.ndarray] = None) -> AssignResult:
+        overlaps = bbox_overlaps(gt_bboxes, bboxes)  # (G, A), gt-major like ref
+        result = assign_max_iou(
+            overlaps, gt_valid, anchor_valid, gt_labels,
+            pos_iou_thr=self.pos_iou_thr, neg_iou_thr=self.neg_iou_thr,
+            min_pos_iou=self.min_pos_iou, gt_max_assign_all=self.gt_max_assign_all)
+        if (self.ignore_iof_thr > 0 and gt_bboxes_ignore is not None
+                and gt_ignore_valid is not None):
+            iof = bbox_overlaps(bboxes, gt_bboxes_ignore, mode="iof")  # (A, Gi)
+            iof = jnp.where(gt_ignore_valid[None, :], iof, 0.0)
+            hit_ignore = jnp.max(iof, axis=1) > self.ignore_iof_thr
+            gt_inds = jnp.where(hit_ignore, -1, result.gt_inds)
+            labels = jnp.where(hit_ignore, 0, result.labels)
+            result = AssignResult(gt_inds, result.max_overlaps, labels)
+        return result

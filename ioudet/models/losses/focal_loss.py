@@ -1,0 +1,75 @@
+"""Sigmoid focal loss.
+
+The reference ships a fused CUDA kernel purely to avoid materializing the
+one-hot + intermediates (ref: mmdet/ops/sigmoid_focal_loss/ +
+mmdet/models/losses/focal_loss.py (py_sigmoid_focal_loss, FocalLoss)).
+On TPU a pure jnp expression is the right design: XLA fuses the one-hot,
+sigmoid, power and BCE into a single VPU loop — no custom kernel, no extra
+HBM traffic.  Numerics match the reference's python fallback exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..registry import LOSSES
+from .utils import weight_reduce_loss
+
+
+def sigmoid_focal_loss_with_logits(pred: jnp.ndarray, target: jnp.ndarray,
+                                   gamma: float = 2.0, alpha: float = 0.25) -> jnp.ndarray:
+    """Elementwise focal loss; ``target`` is {0,1} one-hot-style, same shape.
+
+    loss = FW * BCE(pred, target),
+    FW   = (alpha*t + (1-alpha)*(1-t)) * pt**gamma,
+    pt   = (1-p)*t + p*(1-t).
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    p = jax.nn.sigmoid(pred)
+    pt = (1.0 - p) * target + p * (1.0 - target)
+    focal_weight = (alpha * target + (1.0 - alpha) * (1.0 - target)) * pt ** gamma
+    # numerically stable BCE-with-logits: max(x,0) - x*t + log(1+exp(-|x|))
+    bce = jnp.maximum(pred, 0.0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    return bce * focal_weight
+
+
+def sigmoid_focal_loss(pred: jnp.ndarray, labels: jnp.ndarray,
+                       weight: Optional[jnp.ndarray] = None,
+                       gamma: float = 2.0, alpha: float = 0.25,
+                       reduction: str = "mean",
+                       avg_factor: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Integer-label form matching the reference CUDA op's contract:
+    pred (N, C) logits over C foreground classes; labels (N,) with 0 = bg and
+    1..C = foreground; per-sample ``weight`` (N,) broadcast over classes.
+    """
+    num_classes = pred.shape[-1]
+    onehot = jax.nn.one_hot(labels - 1, num_classes, dtype=pred.dtype)
+    onehot = jnp.where((labels > 0)[..., None], onehot, 0.0)
+    loss = sigmoid_focal_loss_with_logits(pred, onehot, gamma=gamma, alpha=alpha)
+    if weight is not None and weight.ndim == loss.ndim - 1:
+        weight = weight[..., None]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module
+class FocalLoss:
+    def __init__(self, use_sigmoid: bool = True, gamma: float = 2.0,
+                 alpha: float = 0.25, reduction: str = "mean",
+                 loss_weight: float = 1.0):
+        if not use_sigmoid:
+            raise NotImplementedError("softmax focal loss is not supported (nor in ref)")
+        self.gamma = gamma
+        self.alpha = alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * sigmoid_focal_loss(
+            pred, target, weight, gamma=self.gamma, alpha=self.alpha,
+            reduction=reduction, avg_factor=avg_factor)

@@ -1,0 +1,139 @@
+"""Shared model building blocks (ref capability: mmdet/models/utils/
+(ConvModule, build_norm_layer, bias_init_with_prob, Scale)).
+
+Design notes (TPU-first):
+  * NHWC layout everywhere — the native layout for XLA:TPU convolutions
+    (channels on the 128-lane minor dimension feeds the MXU directly).
+  * ``dtype`` threads a bf16 compute policy through every block; parameters
+    stay fp32 (flax's ``param_dtype``) — the TPU analog of the reference's
+    fp16 apparatus without loss scaling.
+  * Norm comes in three flavors: BN (train-mode batch stats), FrozenBN
+    (inference-mode affine using running stats — what ``norm_eval=True``
+    detection backbones actually run), and GN.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def bias_init_with_prob(prior_prob: float) -> float:
+    """RetinaNet's focal-init: bias so initial fg prob ~= prior_prob."""
+    return float(-math.log((1 - prior_prob) / prior_prob))
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that always uses stored running statistics (the semantics of
+    the reference's ``norm_eval=True`` + frozen BN in detection backbones).
+    Parameters: scale/bias (affine) + mean/var ("batch_stats"-like, stored as
+    constants in ``params`` since they are never updated during detection
+    training)."""
+
+    features: int
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (self.features,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (self.features,), jnp.float32)
+        # fold into a single multiply-add; XLA fuses this into the conv
+        inv = scale * jax.lax.rsqrt(var + self.epsilon)
+        w = inv.astype(self.dtype)
+        b = (bias - mean * inv).astype(self.dtype)
+        return x * w + b
+
+
+def build_norm(norm_cfg: Optional[dict], features: int, dtype=jnp.float32,
+               name: Optional[str] = None):
+    """Norm factory keyed by config ``type`` (ref: build_norm_layer).
+    Supported: BN (train-mode), FrozenBN, GN, SyncBN (== BN under pjit —
+    batch stats reduce over the global batch via the mesh), None."""
+    if norm_cfg is None:
+        return None
+    t = norm_cfg["type"]
+    if t in ("BN", "SyncBN"):
+        return nn.BatchNorm(use_running_average=norm_cfg.get("eval", False),
+                            momentum=0.9, epsilon=1e-5, dtype=dtype, name=name,
+                            axis_name=norm_cfg.get("axis_name"))
+    if t == "FrozenBN":
+        return FrozenBatchNorm(features=features, dtype=dtype, name=name)
+    if t == "GN":
+        return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
+                            dtype=dtype, name=name)
+    raise KeyError(f"unknown norm type {t}")
+
+
+_ACTS = {
+    "relu": nn.relu,
+    "swish": nn.swish,
+    "gelu": nn.gelu,
+    None: None,
+}
+
+
+class ConvModule(nn.Module):
+    """conv (+ norm) (+ act) — the ubiquitous block (ref: ConvModule).
+
+    Order is fixed conv->norm->act (the reference's default order tuple).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    groups: int = 1
+    use_bias: Optional[bool] = None
+    norm_cfg: Optional[dict] = None
+    act: Optional[str] = "relu"
+    dtype: Any = jnp.float32
+    kernel_init: Callable = nn.initializers.variance_scaling(
+        2.0, "fan_out", "truncated_normal")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_bias = self.use_bias if self.use_bias is not None else self.norm_cfg is None
+        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    padding=self.padding, feature_group_count=self.groups,
+                    use_bias=use_bias, dtype=self.dtype,
+                    kernel_init=self.kernel_init, name="conv")(x)
+        norm = build_norm(self.norm_cfg, self.features, self.dtype, name="norm")
+        if norm is not None:
+            if isinstance(norm, nn.BatchNorm):
+                x = norm(x, use_running_average=not train)
+            else:
+                x = norm(x)
+        if self.act is not None:
+            x = _ACTS[self.act](x)
+        return x
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize matching torch F.interpolate's floor indexing
+    (src = floor(dst * in/out)).  NHWC.  Used by the FPN top-down path."""
+    n, h, w, c = x.shape
+    th, tw = size
+    if th == 2 * h and tw == 2 * w:
+        # exact x2: pure repeat (cheapest; the common pad-32 case)
+        return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    rows = jnp.floor(jnp.arange(th) * (h / th)).astype(jnp.int32)
+    cols = jnp.floor(jnp.arange(tw) * (w / tw)).astype(jnp.int32)
+    return x[:, rows][:, :, cols]
+
+
+class Scale(nn.Module):
+    """Learnable scalar multiplier (ref: mmdet/models/utils/scale.py)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale", nn.initializers.constant(self.init_value), ())
+        return x * s

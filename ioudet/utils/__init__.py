@@ -1,0 +1,5 @@
+from .registry import Registry, build_from_cfg
+from .config import Config, ConfigDict
+from .logging import get_root_logger
+
+__all__ = ["Registry", "build_from_cfg", "Config", "ConfigDict", "get_root_logger"]

@@ -1,0 +1,16 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax initializes its backends — this mirrors how the
+driver dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")

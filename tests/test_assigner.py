@@ -1,0 +1,124 @@
+"""MaxIoUAssigner edge cases, modeled on the reference's test style
+(hand-built tiny tensors, exact gt_inds patterns) plus fixed-shape-specific
+cases: padded gts, invalid anchors."""
+
+import numpy as np
+
+from ioudet.core import MaxIoUAssigner
+from ioudet.core.bbox.assigners import assign_max_iou
+
+
+def make_assigner(**kw):
+    defaults = dict(pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
+                    gt_max_assign_all=True, ignore_iof_thr=-1)
+    defaults.update(kw)
+    return MaxIoUAssigner(**defaults)
+
+
+class TestAssign:
+    def test_basic(self):
+        anchors = np.array([[0, 0, 10, 10], [10, 10, 20, 20],
+                            [5, 5, 15, 15], [30, 32, 38, 42]], np.float32)
+        gts = np.array([[0, 0, 10, 9], [0, 10, 10, 19]], np.float32)
+        labels = np.array([2, 3], np.int32)
+        res = make_assigner().assign(
+            anchors, gts, np.array([True, True]),
+            np.ones(4, bool), labels)
+        gt_inds = np.asarray(res.gt_inds)
+        # anchor0 heavily overlaps gt0 -> pos; anchor3 overlaps nothing -> neg
+        assert gt_inds[0] == 1
+        assert gt_inds[3] == 0
+        assert np.asarray(res.labels)[0] == 2
+
+    def test_all_negative_when_no_gt(self):
+        anchors = np.array([[0, 0, 10, 10], [10, 10, 20, 20]], np.float32)
+        gts = np.zeros((3, 4), np.float32)
+        res = make_assigner().assign(anchors, gts, np.zeros(3, bool),
+                                     np.ones(2, bool),
+                                     np.zeros(3, np.int32))
+        # no valid gts: every valid anchor has masked max -1 -> stays ignore(-1)?
+        # reference filters empty-gt images out before assignment; here the
+        # contract is: no positives, and anchors must not become positive.
+        assert (np.asarray(res.gt_inds) <= 0).all()
+
+    def test_force_assign_best_anchor(self):
+        # gt whose best anchor IoU is below pos_thr still gets that anchor
+        anchors = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+        gts = np.array([[0, 0, 10, 20]], np.float32)  # IoU with anchor0 ~ 0.5-
+        labels = np.array([5], np.int32)
+        res = make_assigner(pos_iou_thr=0.9).assign(
+            anchors, gts, np.array([True]), np.ones(2, bool), labels)
+        assert np.asarray(res.gt_inds)[0] == 1  # forced positive
+        assert np.asarray(res.gt_inds)[1] == 0
+
+    def test_later_gt_wins_on_shared_best_anchor(self):
+        anchors = np.array([[0, 0, 10, 10]], np.float32)
+        gts = np.array([[0, 0, 10, 12], [0, 0, 10, 13]], np.float32)
+        res = make_assigner(pos_iou_thr=0.99).assign(
+            anchors, gts, np.array([True, True]), np.ones(1, bool),
+            np.array([1, 2], np.int32))
+        # both gts' best anchor is anchor0; sequential loop -> gt2 wins
+        assert np.asarray(res.gt_inds)[0] == 2
+
+    def test_invalid_anchor_excluded(self):
+        anchors = np.array([[0, 0, 10, 10], [0, 0, 10, 10]], np.float32)
+        gts = np.array([[0, 0, 10, 10]], np.float32)
+        res = make_assigner().assign(
+            anchors, gts, np.array([True]),
+            np.array([False, True]), np.array([1], np.int32))
+        gt_inds = np.asarray(res.gt_inds)
+        assert gt_inds[0] == -1  # invalid -> neither pos nor neg
+        assert gt_inds[1] == 1
+
+    def test_thresholds(self):
+        # anchor1: IoU ~ 0.45 -> between neg(0.4) and pos(0.5) -> ignore(-1)
+        gts = np.array([[0, 0, 9, 9]], np.float32)  # area 100
+        anchors = np.array([
+            [0, 0, 9, 9],      # IoU 1.0 -> pos
+            [0, 3, 9, 12],     # IoU 70/130 ~ 0.538 -> pos
+            [0, 4, 9, 14],     # IoU 60/150 ~ 0.43  (hand: inter 6*10=60, union 100+110-60=150) -> ignore
+            [0, 30, 9, 39],    # IoU 0 -> neg
+        ], np.float32)
+        res = make_assigner(min_pos_iou=0.45).assign(
+            anchors, gts, np.array([True]), np.ones(4, bool),
+            np.array([7], np.int32))
+        gt_inds = np.asarray(res.gt_inds)
+        assert gt_inds[0] == 1
+        assert gt_inds[1] == 1
+        assert gt_inds[2] == -1
+        assert gt_inds[3] == 0
+
+    def test_ignore_regions(self):
+        # anchor2 sits on the gt so the gt's force-assign lands there;
+        # anchor0 is covered by an ignore region; anchor1 is plain background.
+        anchors = np.array([[0, 0, 10, 10], [20, 20, 30, 30],
+                            [100, 100, 110, 110]], np.float32)
+        gts = np.array([[100, 100, 110, 110]], np.float32)
+        ignore = np.array([[0, 0, 10, 10]], np.float32)
+        res = make_assigner(ignore_iof_thr=0.5).assign(
+            anchors, gts, np.array([True]), np.ones(3, bool),
+            np.array([1], np.int32),
+            gt_bboxes_ignore=ignore, gt_ignore_valid=np.array([True]))
+        gt_inds = np.asarray(res.gt_inds)
+        assert gt_inds[0] == -1  # covered by ignore region
+        assert gt_inds[1] == 0
+        assert gt_inds[2] == 1
+
+    def test_min_pos_iou_zero_forces_best_anchor_even_at_low_iou(self):
+        """The v1 quirk we deliberately preserve: with min_pos_iou=0 every
+        (valid) gt force-assigns its best-overlap anchor, however low."""
+        anchors = np.array([[0, 0, 10, 10], [40, 40, 60, 60]], np.float32)
+        gts = np.array([[9, 9, 11, 11]], np.float32)  # IoU ~0.03 with anchor0
+        res = make_assigner().assign(anchors, gts, np.array([True]),
+                                     np.ones(2, bool), np.array([3], np.int32))
+        assert np.asarray(res.gt_inds)[0] == 1
+        assert np.asarray(res.gt_inds)[1] == 0
+
+
+class TestAssignFromOverlaps:
+    def test_matrix_direct(self):
+        overlaps = np.array([[0.6, 0.3, 0.45], [0.1, 0.55, 0.0]], np.float32)
+        res = assign_max_iou(overlaps, np.array([True, True]),
+                             np.ones(3, bool), np.array([4, 9], np.int32))
+        np.testing.assert_array_equal(np.asarray(res.gt_inds), [1, 2, -1])
+        np.testing.assert_array_equal(np.asarray(res.labels), [4, 9, 0])
