@@ -78,19 +78,23 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     offs_boxes = top_boxes + top_labels.astype(jnp.float32)[:, None] * max_coord
 
     if nms_type == "matrix":
-        new_scores = matrix_nms(offs_boxes, jnp.where(top_valid, top_scores, 0.0))
-        final_scores, keep_idx = jax.lax.top_k(new_scores, max_per_img)
-        final_valid = final_scores > score_thr
+        kept_scores = matrix_nms(offs_boxes, jnp.where(top_valid, top_scores, 0.0))
     else:
         # top_k output is already score-descending -> greedy pass directly
         iou = bbox_overlaps(offs_boxes, offs_boxes)
         keep = greedy_suppress(iou, top_valid, iou_thr)
         kept_scores = jnp.where(keep, top_scores, 0.0)
-        final_scores, keep_idx = jax.lax.top_k(kept_scores, max_per_img)
-        final_valid = final_scores > score_thr
+
+    k_out = min(max_per_img, kept_scores.shape[0])
+    final_scores, keep_idx = jax.lax.top_k(kept_scores, k_out)
+    final_valid = final_scores > score_thr
 
     dets = jnp.concatenate(
         [top_boxes[keep_idx], final_scores[:, None]], axis=-1)
     dets = dets * final_valid[:, None].astype(dets.dtype)
     labels = jnp.where(final_valid, top_labels[keep_idx], -1)
+    if k_out < max_per_img:
+        pad = max_per_img - k_out
+        dets = jnp.pad(dets, ((0, pad), (0, 0)))
+        labels = jnp.pad(labels, (0, pad), constant_values=-1)
     return dets, labels

@@ -1,0 +1,169 @@
+"""ResNet backbone (ref: mmdet/models/backbones/resnet.py (ResNet, BasicBlock,
+Bottleneck, make_res_layer)).
+
+TPU-first design decisions vs the reference:
+  * NHWC layout; convs map straight onto the MXU.
+  * ``norm_eval=True`` detection semantics are implemented as FrozenBN —
+    running stats folded into one fused multiply-add (XLA fuses it into the
+    conv epilogue), which is both exactly the reference's eval-mode BN math
+    and the fastest possible form on TPU.
+  * ``frozen_stages`` applies ``lax.stop_gradient`` at stage boundaries
+    (plus FrozenBN), reproducing requires_grad=False without optimizer
+    machinery; weight decay on frozen params is masked in the optimizer.
+  * 'pytorch' style bottlenecks (stride on the 3x3), the detection default.
+
+Grouped convolution (``groups``/``base_width``) folds ResNeXt into the same
+block via XLA ``feature_group_count`` — see resnext.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..registry import BACKBONES
+from ..utils.layers import build_norm
+
+_KINIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _norm(norm_cfg, features, dtype, name):
+    return build_norm(norm_cfg or {"type": "FrozenBN"}, features, dtype, name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                      padding=1, use_bias=False, dtype=self.dtype,
+                      kernel_init=_KINIT, name="conv1")(x)
+        out = _norm(self.norm_cfg, self.planes, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, kernel_init=_KINIT, name="conv2")(out)
+        out = _norm(self.norm_cfg, self.planes, self.dtype, "bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_KINIT, name="downsample_conv")(x)
+            identity = _norm(self.norm_cfg, self.planes, self.dtype,
+                             "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int           # bottleneck width basis (64/128/256/512)
+    stride: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 4   # only read when groups > 1 (ResNeXt)
+    expansion: int = 4
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.groups == 1:
+            width = self.planes
+        else:
+            # ResNeXt width rule (ref: mmdet/models/backbones/resnext.py)
+            width = int((self.planes * (self.base_width / 64.0)) * self.groups)
+        out_ch = self.planes * self.expansion
+        identity = x
+
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+                      kernel_init=_KINIT, name="conv1")(x)
+        out = _norm(self.norm_cfg, width, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        # 'pytorch' style: stride lives on the 3x3
+        out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2, padding=1,
+                      feature_group_count=self.groups, use_bias=False,
+                      dtype=self.dtype, kernel_init=_KINIT, name="conv2")(out)
+        out = _norm(self.norm_cfg, width, self.dtype, "bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                      kernel_init=_KINIT, name="conv3")(out)
+        out = _norm(self.norm_cfg, out_ch, self.dtype, "bn3")(out)
+
+        if self.downsample:
+            identity = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                               use_bias=False, dtype=self.dtype,
+                               kernel_init=_KINIT, name="downsample_conv")(x)
+            identity = _norm(self.norm_cfg, out_ch, self.dtype,
+                             "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+ARCH_SETTINGS = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register_module
+class ResNet(nn.Module):
+    """Returns the tuple of stage outputs selected by ``out_indices``.
+
+    Detection defaults mirror the reference configs: depth=50,
+    num_stages=4, out_indices=(0,1,2,3), frozen_stages=1, FrozenBN.
+    """
+
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    frozen_stages: int = -1
+    groups: int = 1
+    base_width: int = 4
+    norm_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = stage_blocks[: self.num_stages]
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, kernel_init=_KINIT, name="conv1")(x)
+        x = _norm(self.norm_cfg, 64, self.dtype, "bn1")(x)
+        x = nn.relu(x)
+        # torch maxpool(3, 2, pad=1): explicit -inf pad then VALID window
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        expansion = 4 if block_cls is Bottleneck else 1
+        in_ch = 64
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = 64 * 2 ** i
+            out_ch = planes * expansion
+            for j in range(num_blocks):
+                stride = self.strides[i] if j == 0 else 1
+                # projection shortcut whenever shape changes (stride/channels)
+                downsample = j == 0 and (stride != 1 or in_ch != out_ch)
+                x = block_cls(planes=planes, stride=stride, downsample=downsample,
+                              norm_cfg=self.norm_cfg, dtype=self.dtype,
+                              name=f"layer{i + 1}_{j}",
+                              **({"groups": self.groups,
+                                  "base_width": self.base_width}
+                                 if block_cls is Bottleneck else {}))(x, train)
+                in_ch = out_ch
+            if i + 1 <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

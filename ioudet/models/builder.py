@@ -1,0 +1,72 @@
+"""Component builders (ref: mmdet/models/builder.py (build_detector,
+build_backbone, build_neck, build_head, build_loss)).
+
+Configs are nested dicts with a ``type`` key; ``build_detector`` recursively
+builds backbone/neck/head and threads train_cfg/test_cfg into the detector,
+exactly the reference's wiring."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..utils.registry import build_from_cfg
+from .registry import BACKBONES, DETECTORS, HEADS, LOSSES, NECKS
+
+
+def _clean(cfg: dict) -> dict:
+    return {k: (tuple(v) if isinstance(v, list) else v) for k, v in cfg.items()}
+
+
+def build_backbone(cfg: dict):
+    return build_from_cfg(_clean(dict(cfg)), BACKBONES)
+
+
+def build_neck(cfg: dict):
+    return build_from_cfg(_clean(dict(cfg)), NECKS)
+
+
+def build_head(cfg: dict):
+    return build_from_cfg(_clean(dict(cfg)), HEADS)
+
+
+def build_loss(cfg: dict):
+    return build_from_cfg(dict(cfg), LOSSES)
+
+
+def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
+                   test_cfg: Optional[dict] = None):
+    cfg = dict(cfg)
+    dtype = cfg.pop("dtype", None)
+    det_type = cfg.pop("type")
+    cfg.pop("pretrained", None)  # weight loading is explicit (checkpoint API)
+    backbone_cfg = dict(cfg.pop("backbone"))
+    neck_cfg = cfg.pop("neck", None)
+    head_cfg = dict(cfg.pop("bbox_head"))
+    if dtype is not None:
+        backbone_cfg.setdefault("dtype", dtype)
+        head_cfg.setdefault("dtype", dtype)
+    backbone = build_backbone(backbone_cfg)
+    neck = None
+    if neck_cfg is not None:
+        neck_cfg = dict(neck_cfg)
+        if dtype is not None:
+            neck_cfg.setdefault("dtype", dtype)
+        neck = build_neck(neck_cfg)
+    bbox_head = build_head(head_cfg)
+    det_cls = DETECTORS.get(det_type)
+    if det_cls is None:
+        raise KeyError(f"{det_type} is not a registered detector")
+    return det_cls(backbone=backbone, neck=neck, bbox_head=bbox_head,
+                   train_cfg=_freeze(train_cfg), test_cfg=_freeze(test_cfg),
+                   **cfg)
+
+
+def _freeze(cfg):
+    """Configs become linen-module fields; make them hashable-stable dicts."""
+    if cfg is None:
+        return None
+    if isinstance(cfg, dict):
+        return {k: _freeze(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return tuple(_freeze(v) for v in cfg)
+    return cfg

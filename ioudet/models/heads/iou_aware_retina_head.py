@@ -1,0 +1,149 @@
+"""IoU-aware RetinaNet head — the fork's scientific payload.
+
+(ref: mmdet/models/anchor_heads/iou_aware_retina_head.py (IoUawareRetinaHead)
++ paper arXiv:1912.05992.)
+
+Architecture: RetinaHead + one extra 3x3 conv ``retina_iou`` producing A
+IoU logits per cell, attached to the LAST REGRESSION-TOWER feature map,
+parallel to ``retina_reg``.  Forward returns (cls_scores, bbox_preds,
+iou_preds) per level.
+
+Training: L = focal(cls) + smooth-L1(reg, beta=0.11) + w_iou * BCE(
+sigmoid(iou_pred_pos), IoU(decode(anchor, bbox_pred), gt)) — IoU targets are
+recomputed on the fly every step from the current regression output and
+DETACHED (stop_gradient): the IoU branch learns to predict the regressor's
+quality, and no gradient flows into the regressor through its own target.
+Normalized by num_pos like the other terms.  Default w_iou = 1.0 (paper
+ablates {0.5, 1, 2}).
+
+Inference: final score S = p**alpha * IoU_pred**(1 - alpha), alpha = 0.5
+(paper eq. 4), applied per level BEFORE the nms_pre top-k so candidate
+selection already reflects localization quality; then the standard decode ->
+concat -> multiclass NMS pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.anchor import anchor_target
+from ...core.bbox import MaxIoUAssigner, bbox_overlaps, delta2bbox
+from ...core.post_processing import multiclass_nms
+from ..registry import HEADS
+from .anchor_head import _CONV_INIT, clip_boxes
+from .retina_head import RetinaHead
+
+
+@HEADS.register_module
+class IoUAwareRetinaHead(RetinaHead):
+    loss_iou_weight: float = 1.0
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        modules = self.towers()
+        retina_iou = nn.Conv(self.num_anchors, (3, 3), padding=1,
+                             kernel_init=_CONV_INIT, dtype=self.dtype,
+                             name="retina_iou")
+        cls_scores, bbox_preds, iou_preds = [], [], []
+        for x in feats:
+            cls, reg, reg_feat = self.forward_single(x, modules)
+            cls_scores.append(cls)
+            bbox_preds.append(reg)
+            iou_preds.append(retina_iou(reg_feat))
+        return cls_scores, bbox_preds, iou_preds
+
+    # ---------------- loss -------------------------------------------------
+
+    def loss(self, cls_scores, bbox_preds, iou_preds, gt_bboxes, gt_labels,
+             gt_valid, img_shapes, pad_shapes, train_cfg) -> Dict[str, jnp.ndarray]:
+        featmap_sizes = [p.shape[1:3] for p in cls_scores]
+        anchors, valid = self.get_anchors(featmap_sizes, pad_shapes)
+        assigner = MaxIoUAssigner(**{k: v for k, v in train_cfg["assigner"].items()
+                                     if k != "type"})
+        targets = anchor_target(
+            anchors, valid, gt_bboxes, gt_valid, gt_labels, img_shapes,
+            assigner, self.target_means, self.target_stds,
+            allowed_border=train_cfg.get("allowed_border", -1),
+            pos_weight=train_cfg.get("pos_weight", -1))
+
+        num_pos = jnp.maximum(targets.num_total_pos, 1).astype(jnp.float32)
+        cls_flat = self._flatten_levels(cls_scores, self.cls_out_channels)
+        box_flat = self._flatten_levels(bbox_preds, 4)
+        iou_flat = self._flatten_levels(iou_preds, 1)[..., 0]  # (B, A_tot)
+
+        loss_cls = self._loss_cls_fn()(
+            cls_flat.reshape(-1, self.cls_out_channels),
+            targets.labels.reshape(-1),
+            weight=targets.label_weights.reshape(-1),
+            avg_factor=num_pos)
+        loss_bbox = self._loss_bbox_fn()(
+            box_flat.reshape(-1, 4),
+            targets.bbox_targets.reshape(-1, 4),
+            weight=targets.bbox_weights.reshape(-1, 4),
+            avg_factor=num_pos)
+
+        # IoU branch: target = IoU(decoded prediction, assigned gt), detached
+        pos_mask = targets.bbox_weights[..., 0]  # (B, A_tot) 1.0 on positives
+        decoded = delta2bbox(anchors[None, :, :], box_flat,
+                             self.target_means, self.target_stds)
+        iou_target = bbox_overlaps(decoded, targets.pos_gt_boxes, is_aligned=True)
+        iou_target = jax.lax.stop_gradient(iou_target)
+        from ..losses.cross_entropy_loss import binary_cross_entropy_with_logits
+        loss_iou = binary_cross_entropy_with_logits(iou_flat, iou_target)
+        loss_iou = self.loss_iou_weight * jnp.sum(loss_iou * pos_mask) / num_pos
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, loss_iou=loss_iou)
+
+    # ---------------- inference --------------------------------------------
+
+    def get_bboxes(self, cls_scores, bbox_preds, iou_preds, img_shapes,
+                   scale_factors, pad_shapes, test_cfg, rescale: bool = False):
+        featmap_sizes = [p.shape[1:3] for p in cls_scores]
+        gens = self.anchor_generators()
+        level_anchors = [g.grid_anchors(fs, s) for g, fs, s in
+                         zip(gens, featmap_sizes, self.anchor_strides)]
+        nms_pre = test_cfg.get("nms_pre", 1000)
+        score_thr = test_cfg.get("score_thr", 0.05)
+        iou_thr = test_cfg.get("nms", {}).get("iou_thr", 0.5)
+        max_per_img = test_cfg.get("max_per_img", 100)
+        nms_type = test_cfg.get("nms", {}).get("type", "nms")
+        alpha = test_cfg.get("rescoring_alpha", 0.5)
+        eps = 1e-6
+
+        def single(img_shape, scale_factor, *flat):
+            n_lvl = len(cls_scores)
+            scores_l = flat[:n_lvl]
+            boxes_l = flat[n_lvl:2 * n_lvl]
+            ious_l = flat[2 * n_lvl:]
+            cand_scores, cand_boxes = [], []
+            for lvl in range(n_lvl):
+                h, w, _ = scores_l[lvl].shape
+                n = h * w * self.num_anchors
+                p = jax.nn.sigmoid(
+                    scores_l[lvl].reshape(n, self.cls_out_channels))
+                iou_p = jax.nn.sigmoid(ious_l[lvl].reshape(n))
+                # IoU-aware rescoring (paper eq. 4)
+                rescored = jnp.power(jnp.maximum(p, eps), alpha) * \
+                    jnp.power(jnp.maximum(iou_p, eps), 1.0 - alpha)[:, None]
+                pairs = jnp.concatenate(
+                    [level_anchors[lvl], boxes_l[lvl].reshape(n, 4)], axis=-1)
+                rescored, _, pairs = self._level_topk(rescored, None, pairs,
+                                                      nms_pre)
+                boxes = delta2bbox(pairs[:, :4], pairs[:, 4:],
+                                   self.target_means, self.target_stds)
+                boxes = clip_boxes(boxes, img_shape)
+                cand_scores.append(rescored)
+                cand_boxes.append(boxes)
+            all_scores = jnp.concatenate(cand_scores, axis=0)
+            all_boxes = jnp.concatenate(cand_boxes, axis=0)
+            if rescale:
+                all_boxes = all_boxes / scale_factor
+            return multiclass_nms(all_boxes, all_scores, score_thr=score_thr,
+                                  iou_thr=iou_thr, max_per_img=max_per_img,
+                                  nms_type=nms_type)
+
+        args = list(cls_scores) + list(bbox_preds) + list(iou_preds)
+        return jax.vmap(single)(img_shapes, scale_factors, *args)

@@ -111,7 +111,7 @@ class TestMatrixNMS:
         scores = np.array([0.9, 0.8, 0.7], np.float32)
         out = np.asarray(matrix_nms(boxes, scores, sigma=0.5))
         assert abs(out[0] - 0.9) < 1e-6      # top box untouched
-        assert out[1] < 0.1                  # duplicate heavily decayed
+        assert out[1] < 0.15                 # duplicate heavily decayed (exp(-2)*0.8)
         assert abs(out[2] - 0.7) < 1e-5      # disjoint untouched
 
 
