@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: batched IoU-aware RetinaNet R-50-FPN inference on one chip.
+
+Prints one JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / 12.0}
+Baseline 12 img/s = the reference's RetinaNet R-50-FPN @1333x800 batch-1 on
+1xV100 fp32 (upstream MODEL_ZOO; see BASELINE.md).
+
+The measured program is the full fixed-shape inference path: backbone -> FPN
+-> 3-branch head -> per-level top-k -> decode -> IoU rescoring -> batched
+multiclass NMS, one XLA program, batch 8, canvas 832x1344, bf16 compute.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from ioudet.models import build_detector
+    from __graft_entry__ import FLAGSHIP, TEST_CFG, TRAIN_CFG
+
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    canvas = (832, 1344)
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    cfg = dict(FLAGSHIP)
+    cfg["dtype"] = dtype
+    det = build_detector(cfg, TRAIN_CFG, TEST_CFG)
+    img0 = jnp.zeros((1,) + canvas + (3,), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), img0)
+    params = variables["params"]
+
+    @jax.jit
+    def predict(params, img, img_shape, scale_factor, pad_shape):
+        return det.apply({"params": params}, img, img_shape, scale_factor,
+                         pad_shape, method=det.simple_test)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(0, 1, (batch,) + canvas + (3,)), jnp.float32)
+    img_shape = jnp.tile(jnp.asarray([[800, 1333]], jnp.int32), (batch, 1))
+    pad_shape = jnp.tile(jnp.asarray([[832, 1344]], jnp.int32), (batch, 1))
+    scale = jnp.ones((batch,), jnp.float32)
+
+    # warmup / compile
+    out = predict(params, img, img_shape, scale, pad_shape)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(params, img, img_shape, scale, pad_shape)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "img/s",
+        "vs_baseline": round(ips / 12.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Checkpoint I/O (ref capability: mmcv save_checkpoint/load_checkpoint +
+CheckpointHook; payload parity: {meta(epoch, iter, version, CLASSES, config),
+state_dict, optimizer}).
+
+Format: a directory with ``state.msgpack`` (flax serialization of
+{params, opt_state, step, ...}) + ``meta.json``; ``latest`` marker file for
+auto-resume.  Also ships a torch ``.pth`` -> params converter so reference
+weights can be loaded for parity testing (torch-cpu is available in the dev
+environment)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(work_dir: str, name: str, state_dict: Dict[str, Any],
+                    meta: Optional[dict] = None) -> str:
+    path = os.path.join(work_dir, name)
+    os.makedirs(path, exist_ok=True)
+    host_state = jax.tree.map(np.asarray, state_dict)
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta or {}, f, indent=2, default=str)
+    with open(os.path.join(work_dir, "latest"), "w") as f:
+        f.write(name)
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None):
+    """Returns (state_dict, meta).  With ``target`` given, restores into its
+    pytree structure (dtype/shape validated); otherwise returns raw nested
+    dicts."""
+    if os.path.isfile(os.path.join(path, "..", "latest")) and not \
+            os.path.isdir(path):
+        raise FileNotFoundError(path)
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        data = f.read()
+    if target is not None:
+        state = serialization.from_bytes(target, data)
+    else:
+        state = serialization.msgpack_restore(data)
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return state, meta
+
+
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    marker = os.path.join(work_dir, "latest")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return os.path.join(work_dir, f.read().strip())
+
+
+# --------------------------------------------------------------------------
+# torch .pth -> flax params converter (for loading reference / torchvision
+# pretrained backbones; ref: load_checkpoint's torchvision:// scheme).
+# --------------------------------------------------------------------------
+
+def convert_torch_resnet(state_dict, depth: int = 50) -> dict:
+    """Map a torchvision/mmdet ResNet state_dict to our flax param tree.
+
+    Layout notes: torch conv weights are OIHW -> flax HWIO; BN becomes
+    FrozenBatchNorm {scale, bias, mean, var}.
+    """
+    import re
+
+    def conv(w):
+        return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+    def get(k):
+        v = state_dict[k]
+        try:  # torch tensor
+            v = v.detach().cpu().numpy()
+        except AttributeError:
+            v = np.asarray(v)
+        return v
+
+    params: dict = {}
+
+    def put(path, leaf):
+        d = params
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = leaf
+
+    def bn(prefix, out_prefix):
+        put(out_prefix + ("scale",), get(prefix + ".weight"))
+        put(out_prefix + ("bias",), get(prefix + ".bias"))
+        put(out_prefix + ("mean",), get(prefix + ".running_mean"))
+        put(out_prefix + ("var",), get(prefix + ".running_var"))
+
+    keys = list(state_dict.keys())
+    put(("conv1", "kernel"), conv(get("conv1.weight")))
+    bn("bn1", ("bn1",))
+    block_pat = re.compile(r"layer(\d)\.(\d+)\.(conv|bn|downsample)(\d?)\.?(.*)")
+    handled = set()
+    for k in keys:
+        m = block_pat.match(k)
+        if not m:
+            continue
+        stage, block, kind, num, _rest = m.groups()
+        name = f"layer{stage}_{block}"
+        base = f"layer{stage}.{block}"
+        if (base, kind, num) in handled:
+            continue
+        handled.add((base, kind, num))
+        if kind == "conv":
+            put((name, f"conv{num}", "kernel"), conv(get(f"{base}.conv{num}.weight")))
+        elif kind == "bn":
+            bn(f"{base}.bn{num}", (name, f"bn{num}"))
+        elif kind == "downsample":
+            put((name, "downsample_conv", "kernel"),
+                conv(get(f"{base}.downsample.0.weight")))
+            bn(f"{base}.downsample.1", (name, "downsample_bn"))
+    return params

@@ -1,0 +1,7 @@
+from .custom import CustomDataset
+from .coco import CocoDataset
+from .xml_style import XMLDataset, VOCDataset, WIDERFaceDataset
+from .wrappers import ConcatDataset, RepeatDataset
+
+__all__ = ["CustomDataset", "CocoDataset", "XMLDataset", "VOCDataset",
+           "WIDERFaceDataset", "ConcatDataset", "RepeatDataset"]

@@ -1,0 +1,120 @@
+"""COCO dataset (ref: mmdet/datasets/coco.py (CocoDataset)).
+
+pycocotools is unavailable here, so the COCO json is parsed directly (it is
+plain JSON; the C extension only accelerates mask ops, which boxes-only
+detection never touches).  Semantics preserved:
+  * cat2label is 1-based (0 = background);
+  * crowd annotations go to ``bboxes_ignore``;
+  * xywh -> xyxy with the v1 +1 convention (x2 = x + w - 1);
+  * images without annotations are filtered in train mode.
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import List
+
+import numpy as np
+
+from ...core.evaluation.class_names import COCO_CLASSES
+from ..registry import DATASETS
+from .custom import CustomDataset
+
+
+@DATASETS.register_module
+class CocoDataset(CustomDataset):
+    CLASSES = COCO_CLASSES
+
+    def load_annotations(self, ann_file: str) -> List[dict]:
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.cat_ids = [c["id"] for c in sorted(coco["categories"],
+                                                key=lambda c: c["id"])]
+        self.cat2label = {cid: i + 1 for i, cid in enumerate(self.cat_ids)}
+        anns_by_img = defaultdict(list)
+        for ann in coco.get("annotations", []):
+            anns_by_img[ann["image_id"]].append(ann)
+        self._anns_by_img = anns_by_img
+        img_infos = []
+        for img in coco["images"]:
+            img_infos.append(dict(
+                id=img["id"], filename=img["file_name"],
+                width=img["width"], height=img["height"]))
+        return img_infos
+
+    def get_ann_info(self, idx: int) -> dict:
+        info = self.img_infos[idx]
+        anns = self._anns_by_img.get(info["id"], [])
+        bboxes, labels, ignore = [], [], []
+        for ann in anns:
+            if ann.get("ignore", False):
+                continue
+            x, y, w, h = ann["bbox"]
+            # clip to image, drop degenerate (ref: _parse_ann_info)
+            x1 = max(x, 0)
+            y1 = max(y, 0)
+            ww = min(x + w, info["width"]) - x1
+            hh = min(y + h, info["height"]) - y1
+            if ww <= 0 or hh <= 0 or ann.get("area", ww * hh) <= 0:
+                continue
+            box = [x1, y1, x1 + ww - 1, y1 + hh - 1]
+            if ann.get("iscrowd", 0):
+                ignore.append(box)
+            else:
+                bboxes.append(box)
+                labels.append(self.cat2label[ann["category_id"]])
+        return dict(
+            bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
+            labels=np.asarray(labels, np.int64),
+            bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4))
+
+    def _filter_imgs(self, min_size: int = 32) -> List[int]:
+        valid = []
+        for i, info in enumerate(self.img_infos):
+            if min(info["width"], info["height"]) < min_size:
+                continue
+            if self.filter_empty_gt and not self._anns_by_img.get(info["id"]):
+                continue
+            valid.append(i)
+        return valid
+
+    # ---- evaluation --------------------------------------------------------
+
+    def gt_for_eval(self, idx: int) -> List[dict]:
+        """COCO-protocol gt dicts (xywh, no +1 — pycocotools convention)."""
+        info = self.img_infos[idx]
+        out = []
+        for ann in self._anns_by_img.get(info["id"], []):
+            out.append(dict(bbox=list(map(float, ann["bbox"])),
+                            category_id=ann["category_id"],
+                            iscrowd=ann.get("iscrowd", 0),
+                            ignore=ann.get("ignore", False)))
+        return out
+
+    def evaluate(self, results, metric: str = "bbox", logger=None):
+        """results: list (len == len(self)) of bbox2result per-class lists."""
+        from ...core.evaluation import CocoEvaluator, print_coco_summary
+        ev = CocoEvaluator(self.cat_ids)
+        for idx in range(len(self)):
+            ev.add_gt(self.img_infos[idx]["id"], self.gt_for_eval(idx))
+            ev.add_det_per_class(self.img_infos[idx]["id"], results[idx])
+        metrics = ev.evaluate()
+        summary = print_coco_summary(metrics)
+        (logger.info if logger else print)(summary)
+        return metrics
+
+    def results2json(self, results) -> List[dict]:
+        """ref: mmdet/core/evaluation/coco_utils.py (results2json)."""
+        from ...core.evaluation.coco_eval import xyxy2xywh
+        out = []
+        for idx, per_cls in enumerate(results):
+            img_id = self.img_infos[idx]["id"]
+            for ci, dets in enumerate(per_cls):
+                for det in dets:
+                    out.append(dict(
+                        image_id=img_id,
+                        bbox=[float(v) for v in xyxy2xywh(det[None, :4])[0]],
+                        score=float(det[4]),
+                        category_id=self.cat_ids[ci]))
+        return out

@@ -126,10 +126,12 @@ class Pad:
     (``size``) — the canvas is the TPU static shape."""
 
     def __init__(self, size: Optional[Tuple[int, int]] = None,
-                 size_divisor: Optional[int] = None, pad_val: float = 0.0):
+                 size_divisor: Optional[int] = None, pad_val: float = 0.0,
+                 orient_aware: bool = True):
         self.size = tuple(size) if size else None
         self.size_divisor = size_divisor
         self.pad_val = pad_val
+        self.orient_aware = orient_aware
 
     def __call__(self, results: dict) -> dict:
         img = results["img"]
@@ -140,7 +142,13 @@ class Pad:
         else:
             ph, pw = h, w
         results["pad_shape"] = (ph, pw)
-        th, tw = self.size if self.size else (ph, pw)
+        if self.size:
+            th, tw = self.size
+            # one canvas per orientation: swap for portrait images
+            if self.orient_aware and (h > w) != (th > tw):
+                th, tw = tw, th
+        else:
+            th, tw = ph, pw
         assert th >= h and tw >= w, f"canvas {self.size} < image {(h, w)}"
         canvas = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
         canvas[:h, :w] = img

@@ -14,7 +14,14 @@ from .registry import BACKBONES, DETECTORS, HEADS, LOSSES, NECKS
 
 
 def _clean(cfg: dict) -> dict:
-    return {k: (tuple(v) if isinstance(v, list) else v) for k, v in cfg.items()}
+    """Lists -> tuples (hashable linen fields); None-valued keys are dropped
+    so `_base_` config overrides can delete inherited keys."""
+    out = {}
+    for k, v in cfg.items():
+        if v is None and k != "type":
+            continue
+        out[k] = tuple(v) if isinstance(v, list) else v
+    return out
 
 
 def build_backbone(cfg: dict):

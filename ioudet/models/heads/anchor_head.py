@@ -183,67 +183,83 @@ class AnchorHead(nn.Module):
         extra = None if extra_2d is None else extra_2d[idx]
         return scores_2d[idx], extra, boxes_2d[idx]
 
+    def _decode_single(self, per_level_scores, per_level_boxes,
+                       per_level_factors, img_shape, nms_pre: int):
+        """One image: per-level sigmoid/softmax -> top-k nms_pre -> decode.
+        Returns (boxes (N, 4) in view space, scores (N, C))."""
+        featmap_sizes = [(s.shape[0], s.shape[1]) for s in per_level_scores]
+        gens = self.anchor_generators()
+        level_anchors = [g.grid_anchors(fs, st) for g, fs, st in
+                         zip(gens, featmap_sizes, self.anchor_strides)]
+        cand_scores, cand_boxes = [], []
+        for lvl, (s, bp) in enumerate(zip(per_level_scores, per_level_boxes)):
+            h, w, _ = s.shape
+            s2 = s.reshape(h * w * self.num_anchors, self.cls_out_channels)
+            if self.use_sigmoid_cls:
+                probs = jax.nn.sigmoid(s2)
+            else:
+                probs = jax.nn.softmax(s2, axis=-1)[:, 1:]  # drop bg col
+            if per_level_factors is not None:
+                f = per_level_factors[lvl].reshape(-1)
+                probs = probs * jax.nn.sigmoid(f)[:, None]
+            b2 = bp.reshape(h * w * self.num_anchors, 4)
+            # carry (anchor, delta) pairs through the same top-k gather
+            pairs = jnp.concatenate([level_anchors[lvl], b2], axis=-1)
+            probs, _, pairs = self._level_topk(probs, None, pairs, nms_pre)
+            boxes = delta2bbox(pairs[:, :4], pairs[:, 4:], self.target_means,
+                               self.target_stds, max_shape=None)
+            cand_scores.append(probs)
+            cand_boxes.append(clip_boxes(boxes, img_shape))
+        return (jnp.concatenate(cand_boxes, axis=0),
+                jnp.concatenate(cand_scores, axis=0))
+
+    def decode_candidates(self, cls_scores, bbox_preds, img_shapes, test_cfg,
+                          score_factors=None):
+        """Batched pre-NMS candidates: (B, N, 4), (B, N, C) — the TTA merge
+        entry point (boxes stay in view space)."""
+        nms_pre = test_cfg.get("nms_pre", 1000)
+        n_lvl = len(cls_scores)
+
+        def single(img_shape, *flat):
+            factors = list(flat[2 * n_lvl:]) or None
+            return self._decode_single(list(flat[:n_lvl]),
+                                       list(flat[n_lvl:2 * n_lvl]),
+                                       factors, img_shape, nms_pre)
+
+        args = list(cls_scores) + list(bbox_preds) + (list(score_factors)
+                                                      if score_factors else [])
+        return jax.vmap(single)(img_shapes, *args)
+
     def get_bboxes(self, cls_scores, bbox_preds, img_shapes, scale_factors,
                    pad_shapes, test_cfg, rescale: bool = False,
                    score_factors=None):
         """Batched decode + NMS.  Returns (dets (B, max_per_img, 5),
         labels (B, max_per_img)) — fixed shape, label -1 padding.
 
-        ``score_factors``: optional per-level list of (B, H, W, A) logits or
-        probabilities multiplying class scores (FCOS centerness hook; the
-        IoU-aware head overrides rescoring instead).
+        ``score_factors``: optional per-level list of (B, H, W, A) logits
+        multiplying class scores (FCOS centerness hook; the IoU-aware head
+        overrides rescoring instead).
         """
-        featmap_sizes = [p.shape[1:3] for p in cls_scores]
-        gens = self.anchor_generators()
-        level_anchors = [g.grid_anchors(fs, s) for g, fs, s in
-                         zip(gens, featmap_sizes, self.anchor_strides)]
-        nms_pre = test_cfg.get("nms_pre", 1000)
-        score_thr = test_cfg.get("score_thr", 0.05)
-        iou_thr = test_cfg.get("nms", {}).get("iou_thr", 0.5)
-        max_per_img = test_cfg.get("max_per_img", 100)
-        nms_type = test_cfg.get("nms", {}).get("type", "nms")
+        boxes, scores = self.decode_candidates(cls_scores, bbox_preds,
+                                               img_shapes, test_cfg,
+                                               score_factors)
+        return _batched_nms(boxes, scores, scale_factors, test_cfg, rescale)
 
-        def single(per_level_scores, per_level_boxes, per_level_factors,
-                   img_shape, scale_factor):
-            cand_scores, cand_boxes = [], []
-            for lvl, (s, bp) in enumerate(zip(per_level_scores, per_level_boxes)):
-                h, w, _ = s.shape
-                s2 = s.reshape(h * w * self.num_anchors, self.cls_out_channels)
-                if self.use_sigmoid_cls:
-                    probs = jax.nn.sigmoid(s2)
-                else:
-                    probs = jax.nn.softmax(s2, axis=-1)[:, 1:]  # drop bg col
-                if per_level_factors is not None:
-                    f = per_level_factors[lvl].reshape(-1)
-                    probs = probs * jax.nn.sigmoid(f)[:, None]
-                b2 = bp.reshape(h * w * self.num_anchors, 4)
-                # carry (anchor, delta) pairs through the same top-k gather
-                pairs = jnp.concatenate([level_anchors[lvl], b2], axis=-1)
-                probs, _, pairs = self._level_topk(probs, None, pairs, nms_pre)
-                anchors_k, deltas_k = pairs[:, :4], pairs[:, 4:]
-                boxes = delta2bbox(anchors_k, deltas_k, self.target_means,
-                                   self.target_stds, max_shape=None)
-                boxes = clip_boxes(boxes, img_shape)
-                cand_scores.append(probs)
-                cand_boxes.append(boxes)
-            all_scores = jnp.concatenate(cand_scores, axis=0)
-            all_boxes = jnp.concatenate(cand_boxes, axis=0)
-            if rescale:
-                all_boxes = all_boxes / scale_factor
-            return multiclass_nms(all_boxes, all_scores, score_thr=score_thr,
-                                  iou_thr=iou_thr, max_per_img=max_per_img,
-                                  nms_type=nms_type)
 
-        def batched(img_shape, scale_factor, *flat):
-            n_lvl = len(cls_scores)
-            scores = list(flat[:n_lvl])
-            boxes = list(flat[n_lvl:2 * n_lvl])
-            factors = list(flat[2 * n_lvl:]) or None
-            return single(scores, boxes, factors, img_shape, scale_factor)
+def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
+    """vmapped rescale + multiclass NMS over a (B, N, ...) candidate set."""
+    score_thr = test_cfg.get("score_thr", 0.05)
+    iou_thr = test_cfg.get("nms", {}).get("iou_thr", 0.5)
+    max_per_img = test_cfg.get("max_per_img", 100)
+    nms_type = test_cfg.get("nms", {}).get("type", "nms")
 
-        args = list(cls_scores) + list(bbox_preds) + (list(score_factors)
-                                                      if score_factors else [])
-        return jax.vmap(batched)(img_shapes, scale_factors, *args)
+    def single(b, s, sf):
+        if rescale:
+            b = b / sf
+        return multiclass_nms(b, s, score_thr=score_thr, iou_thr=iou_thr,
+                              max_per_img=max_per_img, nms_type=nms_type)
+
+    return jax.vmap(single)(boxes, scores, scale_factors)
 
 
 def clip_boxes(boxes: jnp.ndarray, img_shape) -> jnp.ndarray:

@@ -99,51 +99,48 @@ class IoUAwareRetinaHead(RetinaHead):
 
     # ---------------- inference --------------------------------------------
 
-    def get_bboxes(self, cls_scores, bbox_preds, iou_preds, img_shapes,
-                   scale_factors, pad_shapes, test_cfg, rescale: bool = False):
-        featmap_sizes = [p.shape[1:3] for p in cls_scores]
+    def _decode_single_iou(self, scores_l, boxes_l, ious_l, img_shape,
+                           nms_pre: int, alpha: float, eps: float = 1e-6):
+        featmap_sizes = [(s.shape[0], s.shape[1]) for s in scores_l]
         gens = self.anchor_generators()
-        level_anchors = [g.grid_anchors(fs, s) for g, fs, s in
+        level_anchors = [g.grid_anchors(fs, st) for g, fs, st in
                          zip(gens, featmap_sizes, self.anchor_strides)]
-        nms_pre = test_cfg.get("nms_pre", 1000)
-        score_thr = test_cfg.get("score_thr", 0.05)
-        iou_thr = test_cfg.get("nms", {}).get("iou_thr", 0.5)
-        max_per_img = test_cfg.get("max_per_img", 100)
-        nms_type = test_cfg.get("nms", {}).get("type", "nms")
-        alpha = test_cfg.get("rescoring_alpha", 0.5)
-        eps = 1e-6
+        cand_scores, cand_boxes = [], []
+        for lvl in range(len(scores_l)):
+            h, w, _ = scores_l[lvl].shape
+            n = h * w * self.num_anchors
+            p = jax.nn.sigmoid(scores_l[lvl].reshape(n, self.cls_out_channels))
+            iou_p = jax.nn.sigmoid(ious_l[lvl].reshape(n))
+            # IoU-aware rescoring (paper eq. 4): S = p^a * IoU^(1-a)
+            rescored = jnp.power(jnp.maximum(p, eps), alpha) * \
+                jnp.power(jnp.maximum(iou_p, eps), 1.0 - alpha)[:, None]
+            pairs = jnp.concatenate(
+                [level_anchors[lvl], boxes_l[lvl].reshape(n, 4)], axis=-1)
+            rescored, _, pairs = self._level_topk(rescored, None, pairs, nms_pre)
+            boxes = delta2bbox(pairs[:, :4], pairs[:, 4:],
+                               self.target_means, self.target_stds)
+            cand_scores.append(rescored)
+            cand_boxes.append(clip_boxes(boxes, img_shape))
+        return (jnp.concatenate(cand_boxes, axis=0),
+                jnp.concatenate(cand_scores, axis=0))
 
-        def single(img_shape, scale_factor, *flat):
-            n_lvl = len(cls_scores)
-            scores_l = flat[:n_lvl]
-            boxes_l = flat[n_lvl:2 * n_lvl]
-            ious_l = flat[2 * n_lvl:]
-            cand_scores, cand_boxes = [], []
-            for lvl in range(n_lvl):
-                h, w, _ = scores_l[lvl].shape
-                n = h * w * self.num_anchors
-                p = jax.nn.sigmoid(
-                    scores_l[lvl].reshape(n, self.cls_out_channels))
-                iou_p = jax.nn.sigmoid(ious_l[lvl].reshape(n))
-                # IoU-aware rescoring (paper eq. 4)
-                rescored = jnp.power(jnp.maximum(p, eps), alpha) * \
-                    jnp.power(jnp.maximum(iou_p, eps), 1.0 - alpha)[:, None]
-                pairs = jnp.concatenate(
-                    [level_anchors[lvl], boxes_l[lvl].reshape(n, 4)], axis=-1)
-                rescored, _, pairs = self._level_topk(rescored, None, pairs,
-                                                      nms_pre)
-                boxes = delta2bbox(pairs[:, :4], pairs[:, 4:],
-                                   self.target_means, self.target_stds)
-                boxes = clip_boxes(boxes, img_shape)
-                cand_scores.append(rescored)
-                cand_boxes.append(boxes)
-            all_scores = jnp.concatenate(cand_scores, axis=0)
-            all_boxes = jnp.concatenate(cand_boxes, axis=0)
-            if rescale:
-                all_boxes = all_boxes / scale_factor
-            return multiclass_nms(all_boxes, all_scores, score_thr=score_thr,
-                                  iou_thr=iou_thr, max_per_img=max_per_img,
-                                  nms_type=nms_type)
+    def decode_candidates(self, cls_scores, bbox_preds, iou_preds, img_shapes,
+                          test_cfg):
+        nms_pre = test_cfg.get("nms_pre", 1000)
+        alpha = test_cfg.get("rescoring_alpha", 0.5)
+        n_lvl = len(cls_scores)
+
+        def single(img_shape, *flat):
+            return self._decode_single_iou(
+                list(flat[:n_lvl]), list(flat[n_lvl:2 * n_lvl]),
+                list(flat[2 * n_lvl:]), img_shape, nms_pre, alpha)
 
         args = list(cls_scores) + list(bbox_preds) + list(iou_preds)
-        return jax.vmap(single)(img_shapes, scale_factors, *args)
+        return jax.vmap(single)(img_shapes, *args)
+
+    def get_bboxes(self, cls_scores, bbox_preds, iou_preds, img_shapes,
+                   scale_factors, pad_shapes, test_cfg, rescale: bool = False):
+        from .anchor_head import _batched_nms
+        boxes, scores = self.decode_candidates(cls_scores, bbox_preds,
+                                               iou_preds, img_shapes, test_cfg)
+        return _batched_nms(boxes, scores, scale_factors, test_cfg, rescale)

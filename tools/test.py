@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Evaluation CLI (ref: tools/test.py).
+
+Usage: python tools/test.py CONFIG CHECKPOINT --eval bbox [--out out.pkl]
+       [--json_out results.json]
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--out", default=None, help="pickle output of raw results")
+    p.add_argument("--json_out", default=None, help="COCO-json output")
+    p.add_argument("--eval", nargs="*", default=[],
+                   help="metrics: bbox (COCO) / mAP (VOC)")
+    p.add_argument("--batch", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from ioudet import Config
+    from ioudet.apis import init_detector, single_device_test
+    from ioudet.data import build_dataset
+
+    cfg = Config.fromfile(args.config)
+    handle = init_detector(cfg, args.checkpoint)
+    dataset = build_dataset(cfg.data["test"])
+    results = single_device_test(handle.detector, handle.params, dataset,
+                                 imgs_per_batch=args.batch)
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+    if args.json_out and hasattr(dataset, "results2json"):
+        with open(args.json_out, "w") as f:
+            json.dump(dataset.results2json(results), f)
+    for metric in args.eval:
+        if metric in ("bbox", "mAP") and hasattr(dataset, "evaluate"):
+            print(dataset.evaluate(results))
+
+
+if __name__ == "__main__":
+    main()
