@@ -42,16 +42,49 @@ def _sort_by_score(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
                     iou_thr: float) -> jnp.ndarray:
-    """Core greedy pass over a score-descending (N, N) IoU matrix.
+    """EXACT greedy NMS over a score-descending (N, N) IoU matrix, as a
+    fixed-point iteration instead of an N-step scalar loop.
 
-    Returns keep mask (N,).  Row i suppresses all lower-scored j with
-    IoU(i, j) > thr, but only if i itself survived — the sequential rule that
-    makes greedy NMS greedy.
+    Greedy NMS is the unique fixed point of
+        kept[j] = valid[j] and not any_i (i < j and kept[i] and iou[i,j] > thr).
+    Jacobi-iterating this recurrence converges in at most the depth of the
+    suppression chain (score-ordered prefixes become exact monotonically),
+    which for real detections is ~5-20 — each sweep is ONE (N, N) masked
+    reduce on the VPU rather than N sequential scalar steps, so this is
+    ~100x fewer serial steps than the reference CUDA kernel's host loop
+    (ref: mmdet/ops/nms/src/nms_kernel.cu builds a bitmask then reduces on
+    host; here everything stays on-chip).  A ``while_loop`` with an N-sweep
+    cap guarantees exactness in the adversarial worst case.
     """
     n = iou.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    supp = (iou > iou_thr) & (col > row)  # strictly lower-scored
+    supp = (iou > iou_thr) & (col > row)  # i (higher) suppresses j (lower)
+
+    def cond(state):
+        suppressed, prev, it = state
+        return jnp.logical_and(it < n, jnp.any(suppressed != prev))
+
+    def body(state):
+        suppressed, _, it = state
+        kept = valid & jnp.logical_not(suppressed)
+        new = jnp.any(supp & kept[:, None], axis=0)
+        return new, suppressed, it + 1
+
+    init_suppressed = jnp.any(supp & valid[:, None], axis=0)
+    state = (init_suppressed, jnp.zeros((n,), bool) | True, jnp.int32(0))
+    suppressed, _, _ = jax.lax.while_loop(cond, body, state)
+    return jnp.logical_not(suppressed) & valid
+
+
+def greedy_suppress_sequential(iou: jnp.ndarray, valid: jnp.ndarray,
+                               iou_thr: float) -> jnp.ndarray:
+    """Reference N-step sequential formulation (kept as the oracle the
+    fixed-point version is tested against)."""
+    n = iou.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    supp = (iou > iou_thr) & (col > row)
 
     def body(i, suppressed):
         keep_i = jnp.logical_not(suppressed[i]) & valid[i]

@@ -38,6 +38,31 @@ def random_dets(n, seed, spread=120.0):
 
 
 class TestGreedyNMS:
+    def test_fixed_point_equals_sequential(self):
+        """The while_loop fixed-point formulation must match the N-step
+        sequential oracle exactly, including suppression chains."""
+        import jax.numpy as jnp
+        from ioudet.core.bbox.geometry import bbox_overlaps
+        from ioudet.ops.nms import greedy_suppress, greedy_suppress_sequential
+        for seed in range(8):
+            boxes, scores = random_dets(128, seed, spread=60.0)  # dense overlaps
+            order = np.argsort(-scores)
+            b = boxes[order]
+            iou = bbox_overlaps(jnp.asarray(b), jnp.asarray(b))
+            valid = jnp.ones(128, bool)
+            fp = np.asarray(greedy_suppress(iou, valid, 0.4))
+            seq = np.asarray(greedy_suppress_sequential(iou, valid, 0.4))
+            np.testing.assert_array_equal(fp, seq)
+
+    def test_chain_suppression(self):
+        """A suppresses B, B would suppress C: greedy keeps A and C."""
+        boxes = np.array([[0, 0, 10, 10], [0, 4, 10, 14], [0, 8, 10, 18]],
+                         np.float32)
+        scores = np.array([0.9, 0.8, 0.7], np.float32)
+        _, keep, order = nms(boxes, scores, 0.3)
+        kept = sorted(np.asarray(order)[np.asarray(keep)].tolist())
+        assert kept == [0, 2]
+
     def test_vs_numpy_oracle(self):
         for seed in range(5):
             boxes, scores = random_dets(64, seed)
