@@ -7,6 +7,7 @@ from .inference import (init_detector, inference_detector, show_result,
                         DetectorHandle)
 from .test import (single_device_test, multi_host_test, aug_test,
                    make_eval_hook, make_predict_fn)
+from .env import init_dist, set_random_seed, collect_env
 
 __all__ = [
     "save_checkpoint", "load_checkpoint", "latest_checkpoint",

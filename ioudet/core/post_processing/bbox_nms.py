@@ -22,7 +22,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ...ops.nms import greedy_suppress, matrix_nms
 from ..bbox.geometry import bbox_overlaps
 
 NEG_INF = jnp.float32(-1e10)
@@ -50,6 +49,10 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
         dets: (max_per_img, 5) [x1, y1, x2, y2, score], zero-padded.
         labels: (max_per_img,) int32 0-based class, -1 for padding.
     """
+    # local import: ops.nms imports core.bbox.geometry, whose package init
+    # imports this module — deferring breaks the cycle
+    from ...ops.nms import greedy_suppress, matrix_nms
+
     n, num_classes = multi_scores.shape
     scores = multi_scores
     if score_factors is not None:

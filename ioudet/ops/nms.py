@@ -72,7 +72,7 @@ def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray,
         return new, suppressed, it + 1
 
     init_suppressed = jnp.any(supp & valid[:, None], axis=0)
-    state = (init_suppressed, jnp.zeros((n,), bool) | True, jnp.int32(0))
+    state = (init_suppressed, jnp.ones((n,), bool), jnp.int32(0))
     suppressed, _, _ = jax.lax.while_loop(cond, body, state)
     return jnp.logical_not(suppressed) & valid
 
