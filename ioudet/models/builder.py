@@ -9,8 +9,10 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..utils.registry import build_from_cfg
+from ..utils.registry import Registry, build_from_cfg
 from .registry import BACKBONES, DETECTORS, HEADS, LOSSES, NECKS
+
+ROI_EXTRACTORS = Registry("roi_extractor")
 
 
 def _clean(cfg: dict) -> dict:
@@ -40,32 +42,46 @@ def build_loss(cfg: dict):
     return build_from_cfg(dict(cfg), LOSSES)
 
 
+def build_roi_extractor(cfg: dict):
+    from .roi_extractors import SingleRoIExtractor  # ensure registration
+    cfg = dict(cfg)
+    t = cfg.pop("type", "SingleRoIExtractor")
+    cls = ROI_EXTRACTORS.get(t) or {"SingleRoIExtractor": SingleRoIExtractor}[t]
+    return cls(**_clean(cfg))
+
+
 def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                    test_cfg: Optional[dict] = None):
+    """Recursively build a detector from config (single- or two-stage)."""
     cfg = dict(cfg)
     dtype = cfg.pop("dtype", None)
     det_type = cfg.pop("type")
     cfg.pop("pretrained", None)  # weight loading is explicit (checkpoint API)
-    backbone_cfg = dict(cfg.pop("backbone"))
-    neck_cfg = cfg.pop("neck", None)
-    head_cfg = dict(cfg.pop("bbox_head"))
-    if dtype is not None:
-        backbone_cfg.setdefault("dtype", dtype)
-        head_cfg.setdefault("dtype", dtype)
-    backbone = build_backbone(backbone_cfg)
-    neck = None
-    if neck_cfg is not None:
-        neck_cfg = dict(neck_cfg)
+
+    def _with_dtype(c):
+        c = dict(c)
         if dtype is not None:
-            neck_cfg.setdefault("dtype", dtype)
-        neck = build_neck(neck_cfg)
-    bbox_head = build_head(head_cfg)
+            c.setdefault("dtype", dtype)
+        return c
+
+    parts = dict(backbone=build_backbone(_with_dtype(cfg.pop("backbone"))))
+    neck_cfg = cfg.pop("neck", None)
+    if neck_cfg is not None:
+        parts["neck"] = build_neck(_with_dtype(neck_cfg))
+    if "bbox_head" in cfg and "rpn_head" not in cfg:
+        parts["bbox_head"] = build_head(_with_dtype(cfg.pop("bbox_head")))
+    if "rpn_head" in cfg:
+        parts["rpn_head"] = build_head(_with_dtype(cfg.pop("rpn_head")))
+        if "bbox_roi_extractor" in cfg:
+            parts["bbox_roi_extractor"] = build_roi_extractor(
+                cfg.pop("bbox_roi_extractor"))
+        if "bbox_head" in cfg:
+            parts["bbox_head"] = build_head(_with_dtype(cfg.pop("bbox_head")))
     det_cls = DETECTORS.get(det_type)
     if det_cls is None:
         raise KeyError(f"{det_type} is not a registered detector")
-    return det_cls(backbone=backbone, neck=neck, bbox_head=bbox_head,
-                   train_cfg=_freeze(train_cfg), test_cfg=_freeze(test_cfg),
-                   **cfg)
+    return det_cls(train_cfg=_freeze(train_cfg), test_cfg=_freeze(test_cfg),
+                   **parts, **cfg)
 
 
 def _freeze(cfg):

@@ -64,3 +64,13 @@ class RetinaNet(SingleStageDetector):
 @DETECTORS.register_module
 class IoUAwareRetinaNet(SingleStageDetector):
     """The fork's detector: SingleStage + IoUAwareRetinaHead."""
+
+
+@DETECTORS.register_module
+class FCOS(SingleStageDetector):
+    """ref: mmdet/models/detectors/fcos.py — registration shim."""
+
+
+@DETECTORS.register_module
+class SSD(SingleStageDetector):
+    """SSD = SSDVGG backbone + SSDHead, no neck."""

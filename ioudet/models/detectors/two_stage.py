@@ -1,0 +1,244 @@
+"""Two-stage detector (ref: mmdet/models/detectors/two_stage.py
+(TwoStageDetector) + faster_rcnn.py, rpn.py).
+
+Fixed-shape redesign of the R-CNN pipeline:
+  * RPN proposals come from the shared fixed-shape decode+NMS machinery
+    ((B, P, 5), score-padded) — no dynamic proposal lists;
+  * train-time proposal sampling (RandomSampler 512 @ 25% pos,
+    add_gt_as_proposals) is a rank-based fixed-k selection: per-proposal
+    random priorities, positives capped by rank, negatives fill the
+    remainder, one top-k gather — identical distribution to the reference's
+    randperm sampling, no nonzero;
+  * RoI features come from SingleRoIExtractor (dense over levels).
+
+Mask heads (Mask R-CNN family) remain roadmap; the box pipeline (Faster
+R-CNN) is complete.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox import MaxIoUAssigner, delta2bbox
+from ...core.post_processing import multiclass_nms
+from ..bbox_heads.bbox_head import bbox_target_single
+from ..registry import DETECTORS
+from ..heads.anchor_head import clip_boxes
+
+
+@DETECTORS.register_module
+class TwoStageDetector(nn.Module):
+    backbone: nn.Module
+    rpn_head: nn.Module
+    bbox_roi_extractor: nn.Module
+    bbox_head: nn.Module
+    neck: Optional[nn.Module] = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def extract_feat(self, img, train: bool = False):
+        x = self.backbone(img, train=train)
+        if self.neck is not None:
+            x = self.neck(x, train=train)
+        return x
+
+    def __call__(self, img, train: bool = False):
+        feats = self.extract_feat(img, train=train)
+        return self.rpn_head(feats, train=train)
+
+    # ------------------------------------------------------------------ train
+
+    def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
+                      img_shapes, pad_shapes, rng=None):
+        tcfg = dict(self.train_cfg or {})
+        rpn_cfg = dict(tcfg.get("rpn", {}))
+        rcnn_cfg = dict(tcfg.get("rcnn", {}))
+        feats = self.extract_feat(img, train=True)
+        rpn_outs = self.rpn_head(feats, train=True)
+        # RPN is class-agnostic: binary labels
+        rpn_losses = self.rpn_head.loss(
+            *rpn_outs, gt_bboxes, jnp.ones_like(gt_labels), gt_valid,
+            img_shapes, pad_shapes, rpn_cfg)
+        rpn_losses = {f"rpn_{k}": v for k, v in rpn_losses.items()}
+
+        proposal_cfg = dict(tcfg.get("rpn_proposal",
+                                     dict(nms_pre=2000, max_num=2000)))
+        test_cfg2 = dict(nms_pre=proposal_cfg.get("nms_pre", 2000),
+                         score_thr=0.0,
+                         nms=dict(iou_thr=proposal_cfg.get("nms_thr", 0.7)),
+                         max_per_img=proposal_cfg.get("max_num", 2000))
+        dets = self._stop_grad_proposals(rpn_outs, img_shapes, pad_shapes,
+                                         test_cfg2)
+
+        sampler_cfg = dict(rcnn_cfg.get("sampler", {}))
+        num_samples = sampler_cfg.get("num", 512)
+        pos_fraction = sampler_cfg.get("pos_fraction", 0.25)
+        assigner_cfg = {k: v for k, v in dict(
+            rcnn_cfg.get("assigner", dict(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                          min_pos_iou=0.5))).items()
+            if k != "type"}
+        assigner = MaxIoUAssigner(**assigner_cfg)
+        if rng is None:
+            rng = self.make_rng("sampler") if self.has_rng("sampler") else \
+                jax.random.PRNGKey(0)
+
+        B = img.shape[0]
+        G = gt_bboxes.shape[1]
+
+        def sample_one(key, props, gb, gv, gl):
+            boxes = jnp.concatenate([props[:, :4], gb], axis=0)  # add gt
+            prop_valid = jnp.concatenate(
+                [props[:, 4] > 0, gv], axis=0)
+            res = assigner.assign(boxes, gb, gv, prop_valid, gl)
+            pos = res.gt_inds > 0
+            neg = res.gt_inds == 0
+            k1, k2 = jax.random.split(key)
+            noise = jax.random.uniform(k1, pos.shape)
+            max_pos = int(num_samples * pos_fraction)
+            pos_rank = jnp.argsort(jnp.argsort(
+                jnp.where(pos, noise, -1.0))[::-1])
+            sampled_pos = pos & (pos_rank < max_pos)
+            n_pos = jnp.sum(sampled_pos)
+            neg_noise = jax.random.uniform(k2, neg.shape)
+            neg_rank = jnp.argsort(jnp.argsort(
+                jnp.where(neg, neg_noise, -1.0))[::-1])
+            sampled_neg = neg & (neg_rank < num_samples - n_pos)
+            sel = sampled_pos | sampled_neg
+            # gather a fixed num_samples set, selected first
+            prio = sel.astype(jnp.float32) * 10.0 + noise
+            _, idx = jax.lax.top_k(prio, num_samples)
+            sel_boxes = boxes[idx]
+            sel_pos = sampled_pos[idx]
+            sel_valid = sel[idx]
+            safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
+            matched_gt = gb[safe_gt]
+            labels = jnp.where(sel_pos, gl[safe_gt], 0)
+            return sel_boxes, sel_pos, sel_valid, matched_gt, labels
+
+        keys = jax.random.split(rng, B)
+        sel_boxes, sel_pos, sel_valid, matched_gt, labels = jax.vmap(
+            sample_one)(keys, dets, gt_bboxes, gt_valid, gt_labels)
+
+        rois = self._to_rois(sel_boxes)  # (B*N, 5)
+        roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+        cls_score, bbox_pred = self.bbox_head(roi_feats, train=True)
+
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        labels_f, bbox_t, bbox_w = bbox_target_single(
+            flat(sel_boxes), flat(sel_pos), flat(matched_gt), flat(labels),
+            self.bbox_head.target_means, self.bbox_head.target_stds)
+        label_w = flat(sel_valid).astype(jnp.float32)
+        losses = self.bbox_head.loss(cls_score, bbox_pred, labels_f, label_w,
+                                     bbox_t, bbox_w)
+        losses.update(rpn_losses)
+        return losses
+
+    def _stop_grad_proposals(self, rpn_outs, img_shapes, pad_shapes, cfg):
+        outs = jax.tree.map(jax.lax.stop_gradient, rpn_outs)
+        dets, _ = self.rpn_head.get_bboxes(
+            *outs, img_shapes, jnp.ones((img_shapes.shape[0],), jnp.float32),
+            pad_shapes, cfg, rescale=False)
+        return dets
+
+    @staticmethod
+    def _to_rois(boxes: jnp.ndarray) -> jnp.ndarray:
+        """(B, N, 4) -> (B*N, 5) with batch index column."""
+        B, N = boxes.shape[:2]
+        bidx = jnp.repeat(jnp.arange(B, dtype=boxes.dtype), N)[:, None]
+        return jnp.concatenate([bidx, boxes.reshape(B * N, 4)], axis=-1)
+
+    # ------------------------------------------------------------------ test
+
+    def simple_test(self, img, img_shapes, scale_factors, pad_shapes,
+                    rescale: bool = True):
+        cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(cfg.get("rpn", dict(nms_pre=1000, max_num=1000,
+                                           nms_thr=0.7)))
+        rcnn_cfg = dict(cfg.get("rcnn", dict(score_thr=0.05,
+                                             nms=dict(iou_thr=0.5),
+                                             max_per_img=100)))
+        feats = self.extract_feat(img)
+        outs = self.rpn_head(feats)
+        test_cfg2 = dict(nms_pre=rpn_cfg.get("nms_pre", 1000), score_thr=0.0,
+                         nms=dict(iou_thr=rpn_cfg.get("nms_thr", 0.7)),
+                         max_per_img=rpn_cfg.get("max_num", 1000))
+        props, _ = self.rpn_head.get_bboxes(
+            *outs, img_shapes, jnp.ones((img.shape[0],), jnp.float32),
+            pad_shapes, test_cfg2, rescale=False)
+
+        B, P = props.shape[:2]
+        rois = self._to_rois(props[..., :4])
+        roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+        cls_score, bbox_pred = self.bbox_head(roi_feats)
+        num_classes = self.bbox_head.num_classes
+        scores = jax.nn.softmax(cls_score, axis=-1)[:, 1:]  # drop bg column
+        # class-specific decode: (B*P, 4C) deltas around each proposal
+        boxes = self._decode_rcnn(rois, bbox_pred, num_classes)
+        boxes = boxes.reshape(B, P, num_classes, 4)[:, :, 1:, :]  # drop bg
+        scores = scores.reshape(B, P, num_classes - 1)
+
+        def single(b, s, img_shape, sf):
+            b = clip_boxes(b, img_shape)
+            if rescale:
+                b = b / sf
+            return multiclass_nms(
+                b.reshape(P, (num_classes - 1) * 4), s,
+                score_thr=rcnn_cfg.get("score_thr", 0.05),
+                iou_thr=rcnn_cfg.get("nms", {}).get("iou_thr", 0.5),
+                max_per_img=rcnn_cfg.get("max_per_img", 100))
+
+        return jax.vmap(single)(boxes, scores, img_shapes, scale_factors)
+
+    def _decode_rcnn(self, rois, bbox_pred, num_classes):
+        """Class-specific decode: (R, 4C) deltas on proposal boxes."""
+        return delta2bbox(rois[:, 1:], bbox_pred,
+                          self.bbox_head.target_means,
+                          self.bbox_head.target_stds)
+
+
+@DETECTORS.register_module
+class FasterRCNN(TwoStageDetector):
+    """ref: mmdet/models/detectors/faster_rcnn.py — registration shim."""
+
+
+@DETECTORS.register_module
+class RPN(nn.Module):
+    """Proposal-only detector (ref: mmdet/models/detectors/rpn.py)."""
+
+    backbone: nn.Module
+    rpn_head: nn.Module
+    neck: Optional[nn.Module] = None
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def extract_feat(self, img, train: bool = False):
+        x = self.backbone(img, train=train)
+        if self.neck is not None:
+            x = self.neck(x, train=train)
+        return x
+
+    def __call__(self, img, train: bool = False):
+        return self.rpn_head(self.extract_feat(img, train=train), train=train)
+
+    def forward_train(self, img, gt_bboxes, gt_labels, gt_valid, img_shapes,
+                      pad_shapes):
+        outs = self(img, train=True)
+        return self.rpn_head.loss(*outs, gt_bboxes,
+                                  jnp.ones_like(gt_labels), gt_valid,
+                                  img_shapes, pad_shapes,
+                                  dict(self.train_cfg or {}))
+
+    def simple_test(self, img, img_shapes, scale_factors, pad_shapes,
+                    rescale: bool = True):
+        outs = self(img)
+        cfg = dict(self.test_cfg or {})
+        test_cfg = dict(nms_pre=cfg.get("nms_pre", 1000), score_thr=0.0,
+                        nms=dict(iou_thr=cfg.get("nms_thr", 0.7)),
+                        max_per_img=cfg.get("max_num", 1000))
+        return self.rpn_head.get_bboxes(
+            *outs, img_shapes, scale_factors, pad_shapes, test_cfg,
+            rescale=rescale)

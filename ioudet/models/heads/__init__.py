@@ -2,6 +2,8 @@ from .anchor_head import AnchorHead, clip_boxes
 from .retina_head import RetinaHead
 from .iou_aware_retina_head import IoUAwareRetinaHead
 from .rpn_head import RPNHead
+from .fcos_head import FCOSHead
+from .ssd_head import SSDHead
 
 __all__ = ["AnchorHead", "RetinaHead", "IoUAwareRetinaHead", "RPNHead",
-           "clip_boxes"]
+           "FCOSHead", "SSDHead", "clip_boxes"]
