@@ -88,6 +88,20 @@ def _evaluate_img(dets: np.ndarray, det_scores: np.ndarray,
 
     ious = iou_xywh(dets_s, gts_s, crowd_s)
     D, G = dets_s.shape[0], gts_s.shape[0]
+
+    # native fast path (csrc/host_ops.cpp coco_match_cpu)
+    if D and G:
+        from ...ops.host_ops import coco_match_host
+        ndtm, ndtIg = coco_match_host(ious.astype(np.float32),
+                                      gIg_s.astype(np.uint8),
+                                      crowd_s.astype(np.uint8), IOU_THRS)
+        if ndtm is not None:
+            d_area = dets_s[:, 2] * dets_s[:, 3]
+            out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
+            ndtIg = ndtIg | ((ndtm == 0) & out_of_rng[None, :])
+            return dict(dtm=ndtm, dtIg=ndtIg, scores=scores_s,
+                        num_gt=int((~gIg_s).sum()))
+
     dtm = np.zeros((T, D), dtype=np.int64)      # matched gt id+1 (0 = none)
     dtIg = np.zeros((T, D), dtype=bool)
     gtm = np.zeros((T, G), dtype=np.int64)
