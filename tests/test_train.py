@@ -99,19 +99,19 @@ class TestTrainStep:
     def test_loss_decreases(self, tiny_setup):
         det, params, batch = tiny_setup
         params = jax.tree.map(jnp.asarray, params)  # fresh device buffers
-        sched = lambda step: 0.01
-        tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
+        # lr matched to the tiny random-init model (full-size configs rely
+        # on warmup for the first 500 iters)
+        sched = lambda step: 0.003
+        tx = build_optimizer(dict(type="SGD", lr=0.003, momentum=0.9,
                                   weight_decay=1e-4), sched)
         state = dict(params=params, opt_state=tx.init(params),
                      step=jnp.zeros((), jnp.int32))
         step_fn = make_train_step(det, tx)
-        first = None
+        history = []
         for i in range(12):
             state, logs = step_fn(state, batch)
-            if first is None:
-                first = float(logs["loss"])
-        last = float(logs["loss"])
-        assert last < first, (first, last)
+            history.append(float(logs["loss"]))
+        assert np.mean(history[-3:]) < history[0], history
         assert int(state["step"]) == 12
 
     def test_grad_clip(self, tiny_setup):
