@@ -130,6 +130,44 @@ class SSDHead(AnchorHead):
         valid = jax.vmap(per_image)(pad_shapes)
         return anchors, valid
 
+    def decode_candidates(self, cls_scores, bbox_preds, img_shapes, test_cfg,
+                          score_factors=None):
+        """SSD-specific decode: per-level anchor counts vary (4 or 6), and
+        classification is softmax with a background column."""
+        import jax as _jax
+        from ...core.bbox.transforms import delta2bbox
+        from .anchor_head import clip_boxes
+
+        nms_pre = test_cfg.get("nms_pre", 1000)
+        featmap_sizes = [(p.shape[1], p.shape[2]) for p in cls_scores]
+        gens = self.anchor_generators()
+        level_anchors = [g.grid_anchors(fs, st) for g, fs, st in
+                         zip(gens, featmap_sizes, self.anchor_strides)]
+        num_anchors = self._num_anchors_per_level()
+        n_lvl = len(cls_scores)
+
+        def single(img_shape, *flat):
+            scores_l = flat[:n_lvl]
+            boxes_l = flat[n_lvl:]
+            cand_b, cand_s = [], []
+            for lvl in range(n_lvl):
+                h, w, _ = scores_l[lvl].shape
+                n = h * w * num_anchors[lvl]
+                probs = _jax.nn.softmax(
+                    scores_l[lvl].reshape(n, self.cls_out_channels), -1)[:, 1:]
+                pairs = jnp.concatenate(
+                    [level_anchors[lvl], boxes_l[lvl].reshape(n, 4)], axis=-1)
+                probs, _, pairs = self._level_topk(probs, None, pairs,
+                                                   min(nms_pre, n))
+                boxes = delta2bbox(pairs[:, :4], pairs[:, 4:],
+                                   self.target_means, self.target_stds)
+                cand_b.append(clip_boxes(boxes, img_shape))
+                cand_s.append(probs)
+            return jnp.concatenate(cand_b), jnp.concatenate(cand_s)
+
+        args = list(cls_scores) + list(bbox_preds)
+        return _jax.vmap(single)(img_shapes, *args)
+
     def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_valid,
              img_shapes, pad_shapes, train_cfg) -> Dict[str, jnp.ndarray]:
         from ..losses.cross_entropy_loss import cross_entropy
