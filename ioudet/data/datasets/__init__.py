@@ -1,7 +1,9 @@
 from .custom import CustomDataset
 from .coco import CocoDataset
 from .xml_style import XMLDataset, VOCDataset, WIDERFaceDataset
+from .cityscapes import CityscapesDataset
 from .wrappers import ConcatDataset, RepeatDataset
 
 __all__ = ["CustomDataset", "CocoDataset", "XMLDataset", "VOCDataset",
-           "WIDERFaceDataset", "ConcatDataset", "RepeatDataset"]
+           "WIDERFaceDataset", "CityscapesDataset", "ConcatDataset",
+           "RepeatDataset"]
