@@ -10,6 +10,7 @@ test_pipeline = [
          flip=True,
          transforms=[
              dict(type="Resize", keep_ratio=True),
+             dict(type="RandomFlip", flip_ratio=0.0),  # driven by the wrapper
              dict(type="Normalize", **img_norm_cfg),
              dict(type="Pad", size_divisor=32, size=(1024, 1696)),
              dict(type="Collect", keys=["img"]),

@@ -118,6 +118,23 @@ def aug_test(detector, params, samples: List[dict], test_cfg) -> tuple:
     return np.asarray(dets), np.asarray(labels)
 
 
+def tta_test(detector, params, dataset, test_cfg) -> List[List[np.ndarray]]:
+    """Multi-scale/flip TTA evaluation: the dataset's test pipeline wraps
+    MultiScaleFlipAug, so each __getitem__ yields a LIST of per-view samples;
+    views are decoded, mapped back, merged, and NMSed per image (ref:
+    tools/test.py --aug flow + merge_aug_bboxes)."""
+    from ..core.bbox.transforms import bbox2result
+
+    num_classes = detector.bbox_head.num_classes
+    results = []
+    for idx in range(len(dataset)):
+        samples = dataset[idx]
+        assert isinstance(samples, list), "pipeline must yield TTA views"
+        dets, labels = aug_test(detector, params, samples, dict(test_cfg))
+        results.append(bbox2result(dets, labels, num_classes))
+    return results
+
+
 def make_eval_hook(val_dataset, cfg, imgs_per_batch: int = 8) -> Callable:
     def hook(detector, params):
         results = single_device_test(detector, params, val_dataset,

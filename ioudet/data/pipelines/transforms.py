@@ -66,7 +66,8 @@ class Resize:
     def __call__(self, results: dict) -> dict:
         img = results["img"]
         h, w = img.shape[:2]
-        scale = self._pick_scale()
+        # MultiScaleFlipAug injects a per-view scale
+        scale = results.get("scale_override") or self._pick_scale()
         if self.keep_ratio:
             nh, nw, factor = imrescale_size(h, w, scale)
         else:
@@ -88,7 +89,10 @@ class RandomFlip:
         self.flip_ratio = flip_ratio
 
     def __call__(self, results: dict) -> dict:
-        flip = random.random() < self.flip_ratio
+        if "flip_override" in results:
+            flip = bool(results["flip_override"])
+        else:
+            flip = random.random() < self.flip_ratio
         results["flip"] = flip
         if flip:
             results["img"] = np.ascontiguousarray(results["img"][:, ::-1])

@@ -252,12 +252,14 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
     iou_thr = test_cfg.get("nms", {}).get("iou_thr", 0.5)
     max_per_img = test_cfg.get("max_per_img", 100)
     nms_type = test_cfg.get("nms", {}).get("type", "nms")
+    pre_nms_total = test_cfg.get("pre_nms_total", 2000)
 
     def single(b, s, sf):
         if rescale:
             b = b / sf
         return multiclass_nms(b, s, score_thr=score_thr, iou_thr=iou_thr,
-                              max_per_img=max_per_img, nms_type=nms_type)
+                              max_per_img=max_per_img, nms_type=nms_type,
+                              pre_nms_total=pre_nms_total)
 
     return jax.vmap(single)(boxes, scores, scale_factors)
 

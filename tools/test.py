@@ -35,8 +35,15 @@ def main():
     cfg = Config.fromfile(args.config)
     handle = init_detector(cfg, args.checkpoint)
     dataset = build_dataset(cfg.data["test"])
-    results = single_device_test(handle.detector, handle.params, dataset,
-                                 imgs_per_batch=args.batch)
+    has_tta = any(s.get("type") == "MultiScaleFlipAug"
+                  for s in cfg.data["test"]["pipeline"])
+    if has_tta:
+        from ioudet.apis.test import tta_test
+        results = tta_test(handle.detector, handle.params, dataset,
+                           cfg.get("test_cfg", {}))
+    else:
+        results = single_device_test(handle.detector, handle.params, dataset,
+                                     imgs_per_batch=args.batch)
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
