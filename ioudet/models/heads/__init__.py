@@ -4,6 +4,9 @@ from .iou_aware_retina_head import IoUAwareRetinaHead
 from .rpn_head import RPNHead
 from .fcos_head import FCOSHead
 from .ssd_head import SSDHead
+from .guided_anchor_head import (GuidedAnchorHead, GARetinaHead, GARPNHead,
+                                 FeatureAdaption)
 
 __all__ = ["AnchorHead", "RetinaHead", "IoUAwareRetinaHead", "RPNHead",
-           "FCOSHead", "SSDHead", "clip_boxes"]
+           "FCOSHead", "SSDHead", "GuidedAnchorHead", "GARetinaHead",
+           "GARPNHead", "FeatureAdaption", "clip_boxes"]
