@@ -28,7 +28,7 @@ def main():
     from ioudet.models import build_detector
     from __graft_entry__ import FLAGSHIP, TEST_CFG, TRAIN_CFG
 
-    batch = int(os.environ.get("BENCH_BATCH", 8))
+    batch = int(os.environ.get("BENCH_BATCH", 16))
     canvas = (832, 1344)
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
@@ -44,30 +44,43 @@ def main():
         return det.apply({"params": params}, img, img_shape, scale_factor,
                          pad_shape, method=det.simple_test)
 
-    rng = np.random.default_rng(0)
-    # rotate distinct input buffers: identical repeated calls can be
-    # memoized by the runtime and would fake the measurement
+    # EVERY input buffer is unique (seeded by time+pid): the runtime relay
+    # memoizes results of identical (program, args) calls — across processes
+    # too — which would fake the measurement by orders of magnitude.
+    iters = int(os.environ.get("BENCH_ITERS", 12))
+    rng = np.random.default_rng(os.getpid() ^ time.time_ns())
     imgs = [jnp.asarray(rng.normal(0, 1, (batch,) + canvas + (3,)),
-                        jnp.float32) for _ in range(4)]
+                        jnp.float32) for _ in range(iters + 2)]
     img_shape = jnp.tile(jnp.asarray([[800, 1333]], jnp.int32), (batch, 1))
     pad_shape = jnp.tile(jnp.asarray([[832, 1344]], jnp.int32), (batch, 1))
     scale = jnp.ones((batch,), jnp.float32)
 
     # warmup / compile
-    for im in imgs:
+    for im in imgs[iters:]:
         out = predict(params, im, img_shape, scale, pad_shape)
     jax.block_until_ready(out)
 
-    # pipelined throughput: enqueue the stream, block once at the end —
-    # the serving measure (per-call blocking would count host->device
-    # round-trip latency once per batch)
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    # pipelined throughput with a serial data dependency: iteration i's
+    # input depends on iteration i-1's output, so the runtime can neither
+    # elide, reorder, nor defer any step, while dispatch still overlaps
+    # execution (the serving measure).
+    @jax.jit
+    def chain(im, carry):
+        return im + carry * 1e-30
+
+    carry = jnp.float32(0.0)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = predict(params, imgs[i % 4], img_shape, scale, pad_shape)
-    jax.block_until_ready(out)
+        dets, labels = predict(params, chain(imgs[i], carry), img_shape,
+                               scale, pad_shape)
+        carry = dets[0, 0, 4]
+    jax.block_until_ready(carry)
     dt = (time.perf_counter() - t0) / iters
     ips = batch / dt
+    # sanity: implied FLOP rate must stay below chip peak
+    implied_tflops = 0.52 * batch / dt  # ~0.52 TFLOP per image (XLA count)
+    assert implied_tflops < 500, f"implausible rate {implied_tflops} TF/s " \
+        "— execution was elided; measurement invalid"
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip",
