@@ -6,7 +6,9 @@ from .fcos_head import FCOSHead
 from .ssd_head import SSDHead
 from .guided_anchor_head import (GuidedAnchorHead, GARetinaHead, GARPNHead,
                                  FeatureAdaption)
+from .free_anchor_retina_head import FreeAnchorRetinaHead
 
 __all__ = ["AnchorHead", "RetinaHead", "IoUAwareRetinaHead", "RPNHead",
            "FCOSHead", "SSDHead", "GuidedAnchorHead", "GARetinaHead",
-           "GARPNHead", "FeatureAdaption", "clip_boxes"]
+           "GARPNHead", "FeatureAdaption", "FreeAnchorRetinaHead",
+           "clip_boxes"]
