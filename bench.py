@@ -74,7 +74,7 @@ def main():
         dets, labels = predict(params, chain(imgs[i], carry), img_shape,
                                scale, pad_shape)
         carry = dets[0, 0, 4]
-    jax.block_until_ready(carry)
+    float(carry)  # fetch: forces the whole chain to execute on-device
     dt = (time.perf_counter() - t0) / iters
     ips = batch / dt
     # sanity: implied FLOP rate must stay below chip peak
