@@ -40,9 +40,15 @@ def main():
     params = variables["params"]
 
     @jax.jit
-    def predict(params, img, img_shape, scale_factor, pad_shape):
-        return det.apply({"params": params}, img, img_shape, scale_factor,
-                         pad_shape, method=det.simple_test)
+    def predict(params, img, img_shape, scale_factor, pad_shape,
+                carry=jnp.float32(0.0)):
+        # the carry chains iterations (forces real execution, see below) and
+        # is computed IN-program: eager host-side ops are pathologically
+        # slow through remote-device relays
+        dets, labels = det.apply({"params": params}, img + carry * 1e-30,
+                                 img_shape, scale_factor, pad_shape,
+                                 method=det.simple_test)
+        return dets, labels, dets[0, 0, 4]
 
     # EVERY input buffer is unique (seeded by time+pid): the runtime relay
     # memoizes results of identical (program, args) calls — across processes
@@ -58,24 +64,22 @@ def main():
     # warmup / compile
     for im in imgs[iters:]:
         out = predict(params, im, img_shape, scale, pad_shape)
-    jax.block_until_ready(out)
+    float(out[2])
 
-    # pipelined throughput with a serial data dependency: iteration i's
-    # input depends on iteration i-1's output, so the runtime can neither
-    # elide, reorder, nor defer any step, while dispatch still overlaps
-    # execution (the serving measure).
-    @jax.jit
-    def chain(im, carry):
-        return im + carry * 1e-30
-
+    # Serial data dependency (iteration i's input depends on i-1's output)
+    # prevents elision/caching; the per-iteration scalar FETCH forces real
+    # execution (block_until_ready alone does not on remote relays, and
+    # long unfetched queues replay pathologically).  The fetch round trip
+    # makes this a slightly conservative throughput measure.
     carry = jnp.float32(0.0)
-    t0 = time.perf_counter()
+    times = []
     for i in range(iters):
-        dets, labels = predict(params, chain(imgs[i], carry), img_shape,
-                               scale, pad_shape)
-        carry = dets[0, 0, 4]
-    float(carry)  # fetch: forces the whole chain to execute on-device
-    dt = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        dets, labels, carry = predict(params, imgs[i], img_shape, scale,
+                                      pad_shape, carry)
+        float(carry)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     ips = batch / dt
     # sanity: implied FLOP rate must stay below chip peak
     implied_tflops = 0.52 * batch / dt  # ~0.52 TFLOP per image (XLA count)
