@@ -1,0 +1,3 @@
+from .mask_target import (rasterize_polygons, crop_mask_to_roi, mask_target)
+
+__all__ = ["rasterize_polygons", "crop_mask_to_roi", "mask_target"]

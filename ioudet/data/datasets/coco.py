@@ -46,7 +46,7 @@ class CocoDataset(CustomDataset):
     def get_ann_info(self, idx: int) -> dict:
         info = self.img_infos[idx]
         anns = self._anns_by_img.get(info["id"], [])
-        bboxes, labels, ignore = [], [], []
+        bboxes, labels, ignore, masks = [], [], [], []
         for ann in anns:
             if ann.get("ignore", False):
                 continue
@@ -64,10 +64,14 @@ class CocoDataset(CustomDataset):
             else:
                 bboxes.append(box)
                 labels.append(self.cat2label[ann["category_id"]])
+                seg = ann.get("segmentation")
+                # polygon lists only (RLE crowd segs land in ignore above)
+                masks.append(seg if isinstance(seg, list) else [])
         return dict(
             bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
             labels=np.asarray(labels, np.int64),
-            bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4))
+            bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+            masks=masks)
 
     def _filter_imgs(self, min_size: int = 32) -> List[int]:
         valid = []

@@ -39,6 +39,12 @@ class DefaultFormatBundle:
         results["gt_bboxes"] = gt_bboxes
         results["gt_labels"] = gt_labels
         results["gt_valid"] = gt_valid
+        if "gt_masks" in results:
+            m = results["gt_masks"]
+            s = m.shape[-1] if m.size else 112
+            gt_masks = np.zeros((self.max_gt, s, s), np.uint8)
+            gt_masks[:n] = m[:n]
+            results["gt_masks"] = gt_masks
         results["img"] = np.ascontiguousarray(results["img"], np.float32)
         return results
 

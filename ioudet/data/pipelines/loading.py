@@ -38,12 +38,18 @@ class LoadImageFromFile:
 
 @PIPELINES.register_module
 class LoadAnnotations:
+    """with_mask=True rasterizes each instance's polygons into a fixed
+    box-frame crop (mask_size x mask_size) — the TPU-native mask
+    representation (see core/mask/mask_target.py); replaces the reference's
+    pycocotools RLE decode."""
+
     def __init__(self, with_bbox: bool = True, with_label: bool = True,
-                 with_mask: bool = False, skip_img_without_anno: bool = True):
-        if with_mask:
-            raise NotImplementedError("instance masks are two-stage roadmap")
+                 with_mask: bool = False, mask_size: int = 112,
+                 skip_img_without_anno: bool = True):
         self.with_bbox = with_bbox
         self.with_label = with_label
+        self.with_mask = with_mask
+        self.mask_size = mask_size
 
     def __call__(self, results: dict) -> dict:
         ann = results["ann_info"]
@@ -53,6 +59,15 @@ class LoadAnnotations:
                 "bboxes_ignore", np.zeros((0, 4), np.float32)).astype(np.float32)
         if self.with_label:
             results["gt_labels"] = ann["labels"].astype(np.int64)
+        if self.with_mask:
+            from ...core.mask import rasterize_polygons
+            polys = ann.get("masks", [])
+            crops = []
+            for box, poly in zip(ann["bboxes"], polys):
+                crops.append(rasterize_polygons(poly, box, self.mask_size))
+            results["gt_masks"] = (
+                np.stack(crops) if crops else
+                np.zeros((0, self.mask_size, self.mask_size), np.uint8))
         return results
 
 

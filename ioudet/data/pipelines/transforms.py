@@ -103,6 +103,10 @@ class RandomFlip:
                     b[:, 0] = w - results[key][:, 2] - 1
                     b[:, 2] = w - results[key][:, 0] - 1
                     results[key] = b
+            if "gt_masks" in results and len(results["gt_masks"]):
+                # box-frame masks mirror with their box
+                results["gt_masks"] = np.ascontiguousarray(
+                    results["gt_masks"][:, :, ::-1])
         return results
 
 

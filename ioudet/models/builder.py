@@ -77,6 +77,11 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                 cfg.pop("bbox_roi_extractor"))
         if "bbox_head" in cfg:
             parts["bbox_head"] = build_head(_with_dtype(cfg.pop("bbox_head")))
+        if cfg.get("mask_roi_extractor") is not None:
+            parts["mask_roi_extractor"] = build_roi_extractor(
+                cfg.pop("mask_roi_extractor"))
+        if cfg.get("mask_head") is not None:
+            parts["mask_head"] = build_head(_with_dtype(cfg.pop("mask_head")))
     det_cls = DETECTORS.get(det_type)
     if det_cls is None:
         raise KeyError(f"{det_type} is not a registered detector")

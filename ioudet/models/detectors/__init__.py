@@ -1,6 +1,7 @@
 from .single_stage import (SingleStageDetector, RetinaNet, IoUAwareRetinaNet,
                            FCOS, SSD)
 from .two_stage import TwoStageDetector, FasterRCNN, RPN
+from .mask_rcnn import MaskRCNN
 
 __all__ = ["SingleStageDetector", "RetinaNet", "IoUAwareRetinaNet", "FCOS",
-           "SSD", "TwoStageDetector", "FasterRCNN", "RPN"]
+           "SSD", "TwoStageDetector", "FasterRCNN", "RPN", "MaskRCNN"]
