@@ -76,7 +76,12 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
             parts["bbox_roi_extractor"] = build_roi_extractor(
                 cfg.pop("bbox_roi_extractor"))
         if "bbox_head" in cfg:
-            parts["bbox_head"] = build_head(_with_dtype(cfg.pop("bbox_head")))
+            hc = cfg.pop("bbox_head")
+            if isinstance(hc, (list, tuple)):  # cascade: one head per stage
+                parts["bbox_head"] = tuple(build_head(_with_dtype(h))
+                                           for h in hc)
+            else:
+                parts["bbox_head"] = build_head(_with_dtype(hc))
         if cfg.get("mask_roi_extractor") is not None:
             parts["mask_roi_extractor"] = build_roi_extractor(
                 cfg.pop("mask_roi_extractor"))

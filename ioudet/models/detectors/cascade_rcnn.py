@@ -1,0 +1,197 @@
+"""Cascade R-CNN (ref: mmdet/models/detectors/cascade_rcnn.py
+(CascadeRCNN)).
+
+Multi-stage box refinement: each stage re-assigns the previous stage's
+decoded boxes at a stricter IoU threshold (0.5 / 0.6 / 0.7) and regresses
+with tighter target stds.  Fixed-shape redesign: every stage samples the
+same static number of RoIs with the rank-based sampler; refined boxes flow
+to the next stage under stop_gradient (the reference detaches likewise).
+Inference refines boxes stage-by-stage and averages the per-stage class
+scores (ref: ms_scores mean).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox import MaxIoUAssigner, delta2bbox
+from ...core.post_processing import multiclass_nms
+from ..bbox_heads.bbox_head import bbox_target_single
+from ..heads.anchor_head import clip_boxes
+from ..registry import DETECTORS
+from .two_stage import TwoStageDetector
+
+
+@DETECTORS.register_module
+class CascadeRCNN(nn.Module):
+    backbone: nn.Module
+    rpn_head: nn.Module
+    bbox_roi_extractor: nn.Module
+    bbox_head: Tuple[nn.Module, ...]  # one per stage
+    neck: Optional[nn.Module] = None
+    num_stages: int = 3
+    stage_loss_weights: Tuple[float, ...] = (1.0, 0.5, 0.25)
+    stage_pos_thrs: Tuple[float, ...] = (0.5, 0.6, 0.7)
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def extract_feat(self, img, train: bool = False):
+        x = self.backbone(img, train=train)
+        if self.neck is not None:
+            x = self.neck(x, train=train)
+        return x
+
+    def __call__(self, img, train: bool = False):
+        return self.rpn_head(self.extract_feat(img, train=train), train=train)
+
+    def _decode_stage(self, head, rois_boxes, bbox_pred, labels=None):
+        """Refine boxes with a stage's (possibly class-specific) deltas."""
+        if not head.reg_class_agnostic and labels is not None:
+            r = bbox_pred.reshape(bbox_pred.shape[0], head.num_classes, 4)
+            safe = jnp.clip(labels, 0, head.num_classes - 1)
+            bbox_pred = jnp.take_along_axis(
+                r, safe[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        elif not head.reg_class_agnostic:
+            bbox_pred = bbox_pred.reshape(
+                bbox_pred.shape[0], head.num_classes, 4)[:, 1]  # fg-agnostic
+        return delta2bbox(rois_boxes, bbox_pred, head.target_means,
+                          head.target_stds)
+
+    def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
+                      img_shapes, pad_shapes, rng=None):
+        tcfg = dict(self.train_cfg or {})
+        rpn_cfg = dict(tcfg.get("rpn", {}))
+        rcnn_cfg = dict(tcfg.get("rcnn", {}))
+        feats = self.extract_feat(img, train=True)
+        rpn_outs = self.rpn_head(feats, train=True)
+        losses = {f"rpn_{k}": v for k, v in self.rpn_head.loss(
+            *rpn_outs, gt_bboxes, jnp.ones_like(gt_labels), gt_valid,
+            img_shapes, pad_shapes, rpn_cfg).items()}
+
+        proposal_cfg = dict(tcfg.get("rpn_proposal",
+                                     dict(nms_pre=2000, max_num=2000)))
+        test_cfg2 = dict(nms_pre=proposal_cfg.get("nms_pre", 2000),
+                         score_thr=0.0,
+                         nms=dict(iou_thr=proposal_cfg.get("nms_thr", 0.7)),
+                         max_per_img=proposal_cfg.get("max_num", 2000))
+        outs_sg = jax.tree.map(jax.lax.stop_gradient, rpn_outs)
+        props, _ = self.rpn_head.get_bboxes(
+            *outs_sg, img_shapes, jnp.ones((img.shape[0],), jnp.float32),
+            pad_shapes, test_cfg2, rescale=False)
+
+        sampler_cfg = dict(rcnn_cfg.get("sampler", {}))
+        num_samples = sampler_cfg.get("num", 512)
+        pos_fraction = sampler_cfg.get("pos_fraction", 0.25)
+        if rng is None:
+            rng = self.make_rng("sampler") if self.has_rng("sampler") else \
+                jax.random.PRNGKey(0)
+        B = img.shape[0]
+        G = gt_bboxes.shape[1]
+        boxes = props[..., :4]
+        box_valid = props[..., 4] > 0
+
+        for stage in range(self.num_stages):
+            head = self.bbox_head[stage]
+            thr = self.stage_pos_thrs[stage]
+            assigner = MaxIoUAssigner(pos_iou_thr=thr, neg_iou_thr=thr,
+                                      min_pos_iou=thr)
+            rng, srng = jax.random.split(rng)
+            keys = jax.random.split(srng, B)
+
+            def sample_one(key, bx, bv, gb, gv, gl):
+                all_boxes = jnp.concatenate([bx, gb], axis=0)
+                all_valid = jnp.concatenate([bv, gv], axis=0)
+                res = assigner.assign(all_boxes, gb, gv, all_valid, gl)
+                pos = res.gt_inds > 0
+                neg = res.gt_inds == 0
+                k1, k2 = jax.random.split(key)
+                noise = jax.random.uniform(k1, pos.shape)
+                max_pos = int(num_samples * pos_fraction)
+                pr = jnp.argsort(jnp.argsort(jnp.where(pos, noise, -1.0))[::-1])
+                spos = pos & (pr < max_pos)
+                nn_ = jax.random.uniform(k2, neg.shape)
+                nr = jnp.argsort(jnp.argsort(jnp.where(neg, nn_, -1.0))[::-1])
+                sneg = neg & (nr < num_samples - jnp.sum(spos))
+                sel = spos | sneg
+                prio = sel.astype(jnp.float32) * 10.0 + noise
+                _, idx = jax.lax.top_k(prio, num_samples)
+                safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
+                return (all_boxes[idx], spos[idx], sel[idx], gb[safe_gt],
+                        jnp.where(spos[idx], gl[safe_gt], 0))
+
+            sel_boxes, sel_pos, sel_valid, matched_gt, labels = jax.vmap(
+                sample_one)(keys, boxes, box_valid, gt_bboxes, gt_valid,
+                            gt_labels)
+            rois = TwoStageDetector._to_rois(sel_boxes)
+            roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+            cls_score, bbox_pred = head(roi_feats, train=True)
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            labels_f, bbox_t, bbox_w = bbox_target_single(
+                flat(sel_boxes), flat(sel_pos), flat(matched_gt), flat(labels),
+                head.target_means, head.target_stds)
+            stage_losses = head.loss(cls_score, bbox_pred, labels_f,
+                                     flat(sel_valid).astype(jnp.float32),
+                                     bbox_t, bbox_w)
+            w = self.stage_loss_weights[stage]
+            losses.update({f"s{stage}_{k}": v * w
+                           for k, v in stage_losses.items()})
+
+            if stage < self.num_stages - 1:
+                # refine: decode this stage's predictions as next proposals
+                pred_labels = jnp.argmax(cls_score, axis=-1)
+                refined = self._decode_stage(
+                    head, rois[:, 1:], jax.lax.stop_gradient(bbox_pred),
+                    pred_labels)
+                boxes = refined.reshape(B, num_samples, 4)
+                box_valid = sel_valid
+        return losses
+
+    def simple_test(self, img, img_shapes, scale_factors, pad_shapes,
+                    rescale: bool = True):
+        cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(cfg.get("rpn", dict(nms_pre=1000, max_num=1000,
+                                           nms_thr=0.7)))
+        rcnn_cfg = dict(cfg.get("rcnn", dict(score_thr=0.05,
+                                             nms=dict(iou_thr=0.5),
+                                             max_per_img=100)))
+        feats = self.extract_feat(img)
+        outs = self.rpn_head(feats)
+        test_cfg2 = dict(nms_pre=rpn_cfg.get("nms_pre", 1000), score_thr=0.0,
+                         nms=dict(iou_thr=rpn_cfg.get("nms_thr", 0.7)),
+                         max_per_img=rpn_cfg.get("max_num", 1000))
+        props, _ = self.rpn_head.get_bboxes(
+            *outs, img_shapes, jnp.ones((img.shape[0],), jnp.float32),
+            pad_shapes, test_cfg2, rescale=False)
+        B, P = props.shape[:2]
+        boxes = props[..., :4]
+        ms_scores = []
+        for stage in range(self.num_stages):
+            head = self.bbox_head[stage]
+            rois = TwoStageDetector._to_rois(boxes)
+            roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+            cls_score, bbox_pred = head(roi_feats)
+            ms_scores.append(jax.nn.softmax(cls_score, axis=-1))
+            pred_labels = jnp.argmax(cls_score, axis=-1)
+            refined = self._decode_stage(head, rois[:, 1:], bbox_pred,
+                                         pred_labels)
+            boxes = refined.reshape(B, P, 4)
+        scores = sum(ms_scores) / self.num_stages  # (B*P, C)
+        num_classes = self.bbox_head[-1].num_classes
+        scores = scores[:, 1:].reshape(B, P, num_classes - 1)
+
+        def single(b, s, img_shape, sf):
+            b = clip_boxes(b, img_shape)
+            if rescale:
+                b = b / sf
+            bb = jnp.broadcast_to(b[:, None, :], (P, num_classes - 1, 4))
+            return multiclass_nms(
+                bb.reshape(P, (num_classes - 1) * 4), s,
+                score_thr=rcnn_cfg.get("score_thr", 0.05),
+                iou_thr=rcnn_cfg.get("nms", {}).get("iou_thr", 0.5),
+                max_per_img=rcnn_cfg.get("max_per_img", 100))
+
+        return jax.vmap(single)(boxes, scores, img_shapes, scale_factors)
