@@ -55,10 +55,14 @@ def init_detector(config: Union[str, Config], checkpoint: Optional[str] = None,
         model_cfg["dtype"] = dtype
     detector = build_detector(model_cfg, config.get("train_cfg"),
                               config.get("test_cfg"))
-    # init to get the param structure, then optionally restore
+    # init to get the COMPLETE param structure (simple_test traces every
+    # branch incl. second-stage/mask heads), then optionally restore
     pipeline_canvas = _infer_canvas(config)
     dummy = jnp.zeros((1,) + pipeline_canvas + (3,), jnp.float32)
-    variables = detector.init(jax.random.PRNGKey(seed), dummy)
+    meta = jnp.asarray([list(pipeline_canvas)], jnp.int32)
+    variables = detector.init(jax.random.PRNGKey(seed), dummy, meta,
+                              jnp.ones((1,), jnp.float32), meta,
+                              method=detector.simple_test)
     params = variables["params"]
     classes = None
     if checkpoint is not None:
