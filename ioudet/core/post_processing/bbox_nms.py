@@ -51,7 +51,7 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     """
     # local import: ops.nms imports core.bbox.geometry, whose package init
     # imports this module — deferring breaks the cycle
-    from ...ops.nms import greedy_suppress, matrix_nms
+    from ...ops.nms import greedy_suppress, matrix_nms, soft_nms
 
     n, num_classes = multi_scores.shape
     scores = multi_scores
@@ -82,6 +82,16 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
 
     if nms_type == "matrix":
         kept_scores = matrix_nms(offs_boxes, jnp.where(top_valid, top_scores, 0.0))
+    elif nms_type in ("soft_nms", "soft_nms_linear"):
+        method = "gaussian" if nms_type == "soft_nms" else "linear"
+        dets_s, keep_s, order_s = soft_nms(
+            offs_boxes, jnp.where(top_valid, top_scores, 0.0),
+            iou_thr=iou_thr, method=method, min_score=score_thr)
+        # scatter decayed scores back to input order
+        kept_scores = jnp.zeros_like(top_scores)
+        safe = jnp.clip(order_s, 0, top_scores.shape[0] - 1)
+        kept_scores = kept_scores.at[safe].set(
+            jnp.where(keep_s, dets_s[:, 4], 0.0))
     else:
         # top_k output is already score-descending -> greedy pass directly
         iou = bbox_overlaps(offs_boxes, offs_boxes)

@@ -175,6 +175,18 @@ class TestMulticlassNMS:
         assert (np.asarray(labels) == -1).all()
         assert (np.asarray(dets) == 0).all()
 
+    def test_soft_nms_mode(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                         np.float32)
+        scores = np.array([[0.9], [0.8], [0.7]], np.float32)
+        dets, labels = multiclass_nms(boxes, scores, score_thr=0.05,
+                                      max_per_img=10, nms_type="soft_nms")
+        dets = np.asarray(dets)
+        kept = dets[np.asarray(labels) >= 0]
+        assert len(kept) == 3  # soft nms keeps all, decays the overlap
+        assert abs(kept[0, 4] - 0.9) < 1e-5
+        assert kept[1, 4] < 0.8  # decayed
+
     def test_score_factors(self):
         boxes = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
         scores = np.array([[0.8], [0.8]], np.float32)
