@@ -40,6 +40,9 @@ _CONV_INIT = nn.initializers.normal(0.01)
 
 
 def build_loss(cfg: dict):
+    # None-valued keys delete inherited config entries (same convention as
+    # the model builder)
+    cfg = {k: v for k, v in cfg.items() if v is not None or k == "type"}
     return build_from_cfg(cfg, LOSSES)
 
 

@@ -52,6 +52,44 @@ class GHMC:
 
 
 @LOSSES.register_module
+class GHMCAdapter(object):
+    """Adapter matching the AnchorHead loss contract (int labels, per-anchor
+    weight, avg_factor) on top of GHMC's one-hot interface."""
+
+    def __init__(self, bins: int = 10, momentum: float = 0.0,
+                 loss_weight: float = 1.0):
+        self.ghmc = None
+        self._kw = dict(bins=bins, momentum=momentum, loss_weight=loss_weight)
+
+    def __call__(self, pred, labels, weight=None, avg_factor=None,
+                 reduction_override=None):
+        if self.ghmc is None:
+            self.ghmc = GHMC(**self._kw)
+        C = pred.shape[-1]
+        onehot = jax.nn.one_hot(labels - 1, C, dtype=pred.dtype)
+        onehot = jnp.where((labels > 0)[..., None], onehot, 0.0)
+        lw = jnp.ones_like(pred) if weight is None else \
+            jnp.broadcast_to(weight[..., None], pred.shape)
+        return self.ghmc(pred, onehot, lw)
+
+
+@LOSSES.register_module
+class GHMRAdapter(object):
+    """AnchorHead-contract adapter for GHMR (ignores avg_factor: GHM
+    normalizes by valid count, like the reference)."""
+
+    def __init__(self, mu: float = 0.02, bins: int = 10,
+                 momentum: float = 0.0, loss_weight: float = 1.0):
+        self.ghmr = GHMR(mu=mu, bins=bins, momentum=momentum,
+                         loss_weight=loss_weight)
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        lw = jnp.ones_like(pred) if weight is None else weight
+        return self.ghmr(pred, target, lw)
+
+
+@LOSSES.register_module
 class GHMR:
     """GHM regression loss (ASL1) over (N, 4) deltas."""
 
