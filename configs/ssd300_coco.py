@@ -1,0 +1,70 @@
+# SSD300 on COCO (ref: configs/ssd300_coco.py).
+model = dict(
+    type="SSD",
+    backbone=dict(type="SSDVGG", input_size=300),
+    bbox_head=dict(
+        type="SSDHead", num_classes=81, input_size=300,
+        in_channels_list=(512, 1024, 512, 256, 256, 256),
+        anchor_strides=(8, 16, 32, 64, 100, 300),
+        basesize_ratio_range=(0.15, 0.9),
+        anchor_ratios_per_level=((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)),
+        target_means=(0.0, 0.0, 0.0, 0.0),
+        target_stds=(0.1, 0.1, 0.2, 0.2),
+        neg_pos_ratio=3),
+)
+train_cfg = dict(
+    assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5, neg_iou_thr=0.5,
+                  min_pos_iou=0.0, gt_max_assign_all=False,
+                  ignore_iof_thr=-1),
+    allowed_border=-1,
+    pos_weight=-1,
+)
+test_cfg = dict(nms_pre=1000, score_thr=0.02,
+                nms=dict(type="nms", iou_thr=0.45), max_per_img=200)
+dataset_type = "CocoDataset"
+data_root = "data/coco/"
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53], std=[1, 1, 1],
+                    to_rgb=True)
+train_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True),
+    dict(type="PhotoMetricDistortion"),
+    dict(type="Expand", mean=img_norm_cfg["mean"], ratio_range=(1, 4)),
+    dict(type="MinIoURandomCrop", min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+         min_crop_size=0.3),
+    dict(type="Resize", img_scale=(300, 300), keep_ratio=False),
+    dict(type="RandomFlip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size=(300, 300), orient_aware=False),
+    dict(type="DefaultFormatBundle", max_gt=100),
+    dict(type="Collect", keys=["img", "gt_bboxes", "gt_labels", "gt_valid"]),
+]
+test_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="Resize", img_scale=(300, 300), keep_ratio=False),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Pad", size=(300, 300), orient_aware=False),
+    dict(type="Collect", keys=["img"]),
+]
+data = dict(
+    imgs_per_gpu=8, workers_per_gpu=2,
+    train=dict(type=dataset_type,
+               ann_file=data_root + "annotations/instances_train2017.json",
+               img_prefix=data_root + "train2017/", pipeline=train_pipeline),
+    val=dict(type=dataset_type,
+             ann_file=data_root + "annotations/instances_val2017.json",
+             img_prefix=data_root + "val2017/", pipeline=test_pipeline,
+             test_mode=True),
+    test=dict(type=dataset_type,
+              ann_file=data_root + "annotations/instances_val2017.json",
+              img_prefix=data_root + "val2017/", pipeline=test_pipeline,
+              test_mode=True),
+)
+optimizer = dict(type="SGD", lr=2e-3, momentum=0.9, weight_decay=5e-4)
+optimizer_config = dict(grad_clip=None)
+lr_config = dict(policy="step", warmup="linear", warmup_iters=500,
+                 warmup_ratio=1.0 / 3, step=[16, 22])
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=50)
+total_epochs = 24
+work_dir = "./work_dirs/ssd300_coco"
