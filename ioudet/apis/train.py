@@ -133,8 +133,9 @@ def build_optimizer(optimizer_cfg: dict, lr_schedule: Callable,
 
 
 def parse_losses(losses: Dict[str, jnp.ndarray]):
-    """ref: mmdet/apis/train.py (parse_losses): total = sum of 'loss*' keys."""
-    total = sum(v for k, v in losses.items() if k.startswith("loss"))
+    """ref: mmdet/apis/train.py (parse_losses): total = sum of every entry
+    whose key contains 'loss' (so rpn_loss_* / s0_loss_* stages count)."""
+    total = sum(v for k, v in losses.items() if "loss" in k)
     log_vars = dict(losses)
     log_vars["loss"] = total
     return total, log_vars
@@ -144,18 +145,30 @@ def parse_losses(losses: Dict[str, jnp.ndarray]):
 # train step
 # --------------------------------------------------------------------------
 
+def _needs_sampler_rng(detector) -> bool:
+    """Two-stage detectors sample proposals stochastically per step."""
+    return hasattr(detector, "bbox_roi_extractor")
+
+
 def make_train_step(detector, tx: optax.GradientTransformation,
                     mesh=None) -> Callable:
     """Builds the jitted SPMD train step.  ``state`` = {params, opt_state,
     step}; batch keys: img, gt_bboxes, gt_labels, gt_valid, img_shape,
-    pad_shape."""
+    pad_shape (+ gt_masks for mask detectors).  Two-stage samplers get a
+    per-step folded rng."""
 
     def step_fn(state, batch):
         def loss_fn(params):
-            losses = detector.apply(
-                {"params": params}, batch["img"], batch["gt_bboxes"],
-                batch["gt_labels"], batch["gt_valid"], batch["img_shape"],
-                batch["pad_shape"], method=detector.forward_train)
+            args = [batch["img"], batch["gt_bboxes"], batch["gt_labels"],
+                    batch["gt_valid"], batch["img_shape"], batch["pad_shape"]]
+            if "gt_masks" in batch:  # mask-branch detectors
+                args.append(batch["gt_masks"])
+            losses = detector.apply({"params": params}, *args,
+                                    method=detector.forward_train,
+                                    rngs={"sampler": jax.random.fold_in(
+                                        jax.random.PRNGKey(0),
+                                        state["step"])}
+                                    if _needs_sampler_rng(detector) else None)
             total, log_vars = parse_losses(losses)
             return total, log_vars
 
@@ -261,8 +274,8 @@ class Runner:
 
     def _to_device(self, batch):
         keep = ("img", "gt_bboxes", "gt_labels", "gt_valid", "img_shape",
-                "pad_shape")
-        batch = {k: batch[k] for k in keep}
+                "pad_shape", "gt_masks")
+        batch = {k: batch[k] for k in keep if k in batch}
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
         return batch
@@ -302,7 +315,19 @@ def train_detector(detector, dataset, cfg, work_dir: str,
 
     sample = next(iter(loader))
     rng = jax.random.PRNGKey(seed)
-    variables = detector.init(rng, jnp.asarray(sample["img"][:1]))
+    # init through forward_train: traces EVERY branch (incl. second-stage /
+    # mask heads) so the param tree is complete for any detector family
+    init_args = [jnp.asarray(sample["img"][:1]),
+                 jnp.asarray(sample["gt_bboxes"][:1]),
+                 jnp.asarray(sample["gt_labels"][:1]),
+                 jnp.asarray(sample["gt_valid"][:1]),
+                 jnp.asarray(sample["img_shape"][:1]),
+                 jnp.asarray(sample["pad_shape"][:1])]
+    if "gt_masks" in sample:
+        init_args.append(jnp.asarray(sample["gt_masks"][:1]))
+    variables = detector.init(
+        {"params": rng, "sampler": jax.random.PRNGKey(seed + 1)},
+        *init_args, method=detector.forward_train)
     frozen_stages = getattr(detector.backbone, "frozen_stages", -1)
     mask = make_trainable_mask(variables["params"], frozen_stages)
     tx = build_optimizer(dict(cfg["optimizer"]), sched, mask,

@@ -156,3 +156,13 @@ class TestParseLosses:
         total, log_vars = parse_losses(losses)
         assert float(total) == 3.0
         assert float(log_vars["loss"]) == 3.0
+
+    def test_sums_prefixed_stage_losses(self):
+        """rpn_loss_* and s{N}_loss_* must count toward the total (the
+        two-stage/cascade loss keys)."""
+        losses = dict(loss_cls=jnp.asarray(1.0),
+                      rpn_loss_cls=jnp.asarray(2.0),
+                      s0_loss_bbox=jnp.asarray(4.0),
+                      acc=jnp.asarray(99.0))
+        total, _ = parse_losses(losses)
+        assert float(total) == 7.0
