@@ -128,7 +128,13 @@ def build_optimizer(optimizer_cfg: dict, lr_schedule: Callable,
     parts.append(optax.scale_by_learning_rate(lr_schedule))
     tx = optax.chain(*parts)
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        # NOTE: optax.masked passes raw gradients through for masked-out
+        # leaves (they would be applied verbatim!) — frozen parameters must
+        # get a hard zero update instead.
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 
@@ -296,6 +302,7 @@ class Runner:
 def train_detector(detector, dataset, cfg, work_dir: str,
                    validate: bool = False, val_dataset=None,
                    resume_from: Optional[str] = None,
+                   load_from: Optional[str] = None,
                    auto_resume: bool = True, seed: int = 0,
                    n_devices: Optional[int] = None):
     from ..data import build_dataloader
@@ -328,6 +335,25 @@ def train_detector(detector, dataset, cfg, work_dir: str,
     variables = detector.init(
         {"params": rng, "sampler": jax.random.PRNGKey(seed + 1)},
         *init_args, method=detector.forward_train)
+    load_from = load_from or cfg.get("load_from")
+    if load_from:
+        # weights only (ref: cfg.load_from vs resume_from): partial trees
+        # (e.g. a converted pretrained backbone) merge over the random init
+        from .checkpoint import load_checkpoint as _load
+        state0, _ = _load(load_from)
+        loaded = state0.get("params", state0)
+
+        def merge(init_tree, new_tree):
+            out = dict(init_tree)
+            for k, v in new_tree.items():
+                if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+                    out[k] = merge(out[k], v)
+                else:
+                    out[k] = jnp.asarray(v)
+            return out
+
+        variables = {"params": merge(variables["params"], loaded)}
+        get_root_logger().info(f"loaded weights from {load_from}")
     frozen_stages = getattr(detector.backbone, "frozen_stages", -1)
     mask = make_trainable_mask(variables["params"], frozen_stages)
     tx = build_optimizer(dict(cfg["optimizer"]), sched, mask,

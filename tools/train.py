@@ -22,6 +22,8 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("--work_dir", default=None)
     p.add_argument("--resume_from", default=None)
+    p.add_argument("--load_from", default=None,
+                   help="load weights only (e.g. a converted backbone)")
     p.add_argument("--validate", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n-devices", type=int, default=None,
@@ -65,8 +67,8 @@ def main():
         val_dataset = build_dataset(cfg.data["val"])
     train_detector(detector, dataset, cfg, work_dir,
                    validate=args.validate, val_dataset=val_dataset,
-                   resume_from=args.resume_from, seed=args.seed,
-                   n_devices=args.n_devices)
+                   resume_from=args.resume_from, load_from=args.load_from,
+                   seed=args.seed, n_devices=args.n_devices)
 
 
 if __name__ == "__main__":
