@@ -1,0 +1,146 @@
+"""Golden test for the IoU-aware inference decode: a numpy oracle of the
+reference pipeline (sigmoid -> S = p^a * IoU^(1-a) -> per-level top-k ->
+delta2bbox -> clip -> concat -> per-class greedy NMS -> top max_per_img)
+must reproduce head.get_bboxes outputs exactly."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ioudet.models.heads import IoUAwareRetinaHead
+
+
+def np_decode_oracle(anchors_per_level, cls_maps, iou_maps, reg_maps,
+                     img_shape, alpha=0.5, nms_pre=40, score_thr=0.05,
+                     iou_thr=0.5, max_per_img=10):
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    cand_scores, cand_boxes = [], []
+    for anchors, cls_m, iou_m, reg_m in zip(anchors_per_level, cls_maps,
+                                            iou_maps, reg_maps):
+        C = cls_m.shape[-1] // 9
+        n = anchors.shape[0]
+        p = sigmoid(cls_m.reshape(n, C))
+        iou_p = sigmoid(iou_m.reshape(n))
+        s = np.maximum(p, 1e-6) ** alpha * \
+            (np.maximum(iou_p, 1e-6) ** (1 - alpha))[:, None]
+        k = min(nms_pre, n)
+        idx = np.argsort(-s.max(-1))[:k]
+        deltas = reg_m.reshape(n, 4)[idx]
+        anc = anchors[idx]
+        # delta2bbox (stds 1, means 0)
+        pw = anc[:, 2] - anc[:, 0] + 1
+        ph = anc[:, 3] - anc[:, 1] + 1
+        px = (anc[:, 0] + anc[:, 2]) / 2
+        py = (anc[:, 1] + anc[:, 3]) / 2
+        mr = abs(np.log(16 / 1000))
+        dw = np.clip(deltas[:, 2], -mr, mr)
+        dh = np.clip(deltas[:, 3], -mr, mr)
+        gw = pw * np.exp(dw)
+        gh = ph * np.exp(dh)
+        gx = px + pw * deltas[:, 0]
+        gy = py + ph * deltas[:, 1]
+        boxes = np.stack([gx - gw / 2 + 0.5, gy - gh / 2 + 0.5,
+                          gx + gw / 2 - 0.5, gy + gh / 2 - 0.5], -1)
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, img_shape[1] - 1)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, img_shape[0] - 1)
+        cand_scores.append(s[idx])
+        cand_boxes.append(boxes)
+    scores = np.concatenate(cand_scores)
+    boxes = np.concatenate(cand_boxes)
+
+    # per-class greedy NMS
+    results = []
+    C = scores.shape[1]
+    for c in range(C):
+        m = scores[:, c] > score_thr
+        if not m.any():
+            continue
+        b, s = boxes[m], scores[m, c]
+        order = np.argsort(-s, kind="stable")
+        suppressed = np.zeros(len(s), bool)
+        for oi, i in enumerate(order):
+            if suppressed[i]:
+                continue
+            results.append((float(s[i]), tuple(np.round(b[i], 3)), c))
+            for j in order[oi + 1:]:
+                if suppressed[j]:
+                    continue
+                iw = min(b[i, 2], b[j, 2]) - max(b[i, 0], b[j, 0]) + 1
+                ih = min(b[i, 3], b[j, 3]) - max(b[i, 1], b[j, 1]) + 1
+                inter = max(iw, 0) * max(ih, 0)
+                a1 = (b[i, 2] - b[i, 0] + 1) * (b[i, 3] - b[i, 1] + 1)
+                a2 = (b[j, 2] - b[j, 0] + 1) * (b[j, 3] - b[j, 1] + 1)
+                if inter / (a1 + a2 - inter) > iou_thr:
+                    suppressed[j] = True
+    results.sort(key=lambda t: -t[0])
+    return results[:max_per_img]
+
+
+class TestDecodeGolden:
+    def test_get_bboxes_matches_numpy_oracle(self):
+        head = IoUAwareRetinaHead(num_classes=5, in_channels=8,
+                                  feat_channels=8, stacked_convs=1,
+                                  anchor_strides=(8, 16))
+        rng = np.random.default_rng(3)
+        sizes = [(4, 6), (2, 3)]
+        cls_maps = [rng.normal(-1.5, 1.2, (1, h, w, 9 * 4)).astype(np.float32)
+                    for h, w in sizes]
+        reg_maps = [rng.normal(0, 0.4, (1, h, w, 36)).astype(np.float32)
+                    for h, w in sizes]
+        iou_maps = [rng.normal(0, 1, (1, h, w, 9)).astype(np.float32)
+                    for h, w in sizes]
+        img_shape = (30, 46)
+        test_cfg = dict(nms_pre=40, score_thr=0.05, nms=dict(iou_thr=0.5),
+                        max_per_img=10, rescoring_alpha=0.5)
+        dets, labels = head.get_bboxes(
+            [jnp.asarray(m) for m in cls_maps],
+            [jnp.asarray(m) for m in reg_maps],
+            [jnp.asarray(m) for m in iou_maps],
+            jnp.asarray([img_shape], jnp.int32),
+            jnp.ones((1,), jnp.float32),
+            jnp.asarray([img_shape], jnp.int32), test_cfg)
+        dets, labels = np.asarray(dets)[0], np.asarray(labels)[0]
+        got = [(round(float(d[4]), 4), int(l))
+               for d, l in zip(dets, labels) if l >= 0]
+
+        anchors = [np.asarray(g.grid_anchors(s, st)) for g, s, st in
+                   zip(head.anchor_generators(), sizes, (8, 16))]
+        oracle = np_decode_oracle(anchors, [m[0] for m in cls_maps],
+                                  [m[0] for m in iou_maps],
+                                  [m[0] for m in reg_maps], img_shape)
+        want = [(round(s, 4), c) for s, _, c in oracle]
+        assert got == want, (got, want)
+
+    def test_rescoring_alpha_changes_order(self):
+        """alpha=1 ignores the IoU branch; a candidate with low cls but high
+        IoU must outrank at alpha=0.2 what it cannot at alpha=1."""
+        head = IoUAwareRetinaHead(num_classes=2, in_channels=8,
+                                  feat_channels=8, stacked_convs=1,
+                                  anchor_strides=(8,))
+        cls_m = np.full((1, 1, 2, 9), -4.0, np.float32)
+        cls_m[0, 0, 0, 0] = 1.0   # A: high cls
+        cls_m[0, 0, 1, 0] = 0.0   # B: lower cls
+        iou_m = np.full((1, 1, 2, 9), -4.0, np.float32)
+        iou_m[0, 0, 0, 0] = -2.0  # A: low predicted IoU
+        iou_m[0, 0, 1, 0] = 3.0   # B: high predicted IoU
+        reg_m = np.zeros((1, 1, 2, 36), np.float32)
+        args = ([jnp.asarray(cls_m)], [jnp.asarray(reg_m)],
+                [jnp.asarray(iou_m)],
+                jnp.asarray([[8, 16]], jnp.int32), jnp.ones((1,)),
+                jnp.asarray([[8, 16]], jnp.int32))
+        d1, l1 = head.get_bboxes(*args, dict(
+            nms_pre=18, score_thr=0.0001, nms=dict(iou_thr=0.5),
+            max_per_img=4, rescoring_alpha=0.999))
+        d2, l2 = head.get_bboxes(*args, dict(
+            nms_pre=18, score_thr=0.0001, nms=dict(iou_thr=0.5),
+            max_per_img=4, rescoring_alpha=0.2))
+        sig = lambda x: 1 / (1 + np.exp(-x))
+        # alpha ~1: pure cls -> candidate A (cls=1.0) wins
+        np.testing.assert_allclose(float(np.asarray(d1)[0, 0, 4]),
+                                   sig(1.0) ** 0.999 * sig(-2.0) ** 0.001,
+                                   rtol=1e-3)
+        # alpha 0.2: IoU dominates -> candidate B (iou=3.0) wins
+        np.testing.assert_allclose(float(np.asarray(d2)[0, 0, 4]),
+                                   sig(0.0) ** 0.2 * sig(3.0) ** 0.8,
+                                   rtol=1e-3)
