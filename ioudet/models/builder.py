@@ -87,6 +87,9 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                 cfg.pop("mask_roi_extractor"))
         if cfg.get("mask_head") is not None:
             parts["mask_head"] = build_head(_with_dtype(cfg.pop("mask_head")))
+        if cfg.get("mask_iou_head") is not None:
+            parts["mask_iou_head"] = build_head(
+                _with_dtype(cfg.pop("mask_iou_head")))
     det_cls = DETECTORS.get(det_type)
     if det_cls is None:
         raise KeyError(f"{det_type} is not a registered detector")
