@@ -113,7 +113,14 @@ def _prepare_image(img: Union[str, np.ndarray], pipeline) -> dict:
 
 
 def inference_detector(handle: DetectorHandle,
-                       img: Union[str, np.ndarray]) -> List[np.ndarray]:
+                       img: Union[str, np.ndarray],
+                       device_preprocess: bool = False) -> List[np.ndarray]:
+    """``device_preprocess=True`` runs resize+normalize+pad as ONE jitted
+    XLA program on-chip (ops/preprocess.py) instead of host PIL — raw images
+    are bucketed to 256-px multiples so a handful of compilations cover a
+    whole dataset."""
+    if device_preprocess:
+        return _inference_device_preprocess(handle, img)
     cfg = handle.cfg
     steps = None
     try:
@@ -138,6 +145,43 @@ def inference_detector(handle: DetectorHandle,
         jnp.asarray(sample["img_shape"])[None],
         jnp.asarray(sample["scale_factor"])[None],
         jnp.asarray(sample["pad_shape"])[None])
+    num_classes = handle.detector.bbox_head.num_classes
+    return bbox2result(np.asarray(dets[0]), np.asarray(labels[0]), num_classes)
+
+
+def _inference_device_preprocess(handle: DetectorHandle,
+                                 img: Union[str, np.ndarray]) -> List[np.ndarray]:
+    from ..ops.preprocess import preprocess
+
+    if isinstance(img, str):
+        from PIL import Image
+        arr = np.asarray(Image.open(img).convert("RGB"))
+    else:
+        arr = np.asarray(img)[..., ::-1]  # BGR arrays -> RGB
+    h, w = arr.shape[:2]
+    # bucket the raw shape so compilations are reused across images
+    bh = max(256, int(np.ceil(h / 256)) * 256)
+    bw = max(256, int(np.ceil(w / 256)) * 256)
+    raw = np.zeros((bh, bw, 3), np.uint8)
+    raw[:h, :w] = arr
+
+    canvas = _infer_canvas(handle.cfg)
+    scale = (1333, 800)
+    try:
+        for s in handle.cfg.data.test.pipeline:
+            if s.get("type") == "Resize":
+                scale = tuple(s["img_scale"])
+    except (AttributeError, KeyError):
+        pass
+    if h > w and canvas[0] < canvas[1]:
+        canvas = (canvas[1], canvas[0])
+    dev_img, img_shape, factor = preprocess(
+        jnp.asarray(raw), jnp.asarray([h, w], jnp.int32), canvas=canvas,
+        max_scale=scale)
+    predict = handle.predict_fn()
+    dets, labels = predict(
+        handle.params, dev_img[None], img_shape[None],
+        jnp.asarray(factor)[None], jnp.asarray([list(canvas)], jnp.int32))
     num_classes = handle.detector.bbox_head.num_classes
     return bbox2result(np.asarray(dets[0]), np.asarray(labels[0]), num_classes)
 

@@ -1,0 +1,62 @@
+"""Device-preprocess inference path: the jitted resize+normalize+pad must
+yield the same detections as the host PIL pipeline on the same image."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_handle(tmp_path_factory):
+    from PIL import Image
+    from ioudet.utils.config import Config
+    from ioudet.apis import init_detector
+
+    tmp = tmp_path_factory.mktemp("devprep")
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (60, 90, 3), np.uint8)
+    arr[15:40, 20:50] = [250, 10, 10]
+    img_path = str(tmp / "img.jpg")
+    Image.fromarray(arr).save(img_path)
+
+    cfg = Config.fromdict(dict(
+        model=dict(
+            type="IoUAwareRetinaNet",
+            backbone=dict(type="ResNet", depth=18, frozen_stages=-1,
+                          norm_cfg=dict(type="FrozenBN")),
+            neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                      out_channels=32, start_level=1, add_extra_convs=True,
+                      num_outs=5),
+            bbox_head=dict(type="IoUAwareRetinaHead", num_classes=3,
+                           in_channels=32, feat_channels=32, stacked_convs=1,
+                           anchor_strides=(8, 16, 32, 64, 128))),
+        test_cfg=dict(nms_pre=100, score_thr=0.02, nms=dict(iou_thr=0.5),
+                      max_per_img=10, rescoring_alpha=0.5),
+        data=dict(test=dict(pipeline=[
+            dict(type="LoadImageFromFile"),
+            dict(type="Resize", img_scale=(96, 64), keep_ratio=True),
+            dict(type="Normalize", mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375), to_rgb=False),
+            dict(type="Pad", size_divisor=32, size=(64, 96)),
+            dict(type="Collect", keys=["img"]),
+        ])),
+    ))
+    return init_detector(cfg, None), img_path
+
+
+class TestDevicePreprocess:
+    def test_matches_host_pipeline(self, tiny_handle):
+        from ioudet.apis import inference_detector
+
+        handle, img_path = tiny_handle
+        r_host = inference_detector(handle, img_path)
+        r_dev = inference_detector(handle, img_path, device_preprocess=True)
+        # same shapes; top scores agree closely (resize kernels are the
+        # same half-pixel bilinear on both paths)
+        for a, b in zip(r_host, r_dev):
+            assert a.shape == b.shape
+        top_host = max((float(d[0, 4]) for d in r_host if len(d)), default=0)
+        top_dev = max((float(d[0, 4]) for d in r_dev if len(d)), default=0)
+        assert abs(top_host - top_dev) < 0.05
