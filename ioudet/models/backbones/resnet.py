@@ -69,6 +69,9 @@ class Bottleneck(nn.Module):
     base_width: int = 4   # only read when groups > 1 (ResNeXt)
     expansion: int = 4
     norm_cfg: Optional[dict] = None
+    with_dcn: bool = False      # deformable 3x3 (ref: configs/dcn/* "dcn")
+    dcn_modulated: bool = False  # DCNv2 (modulated)
+    with_gcb: bool = False      # global-context block after conv3 (gcb)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,15 +88,35 @@ class Bottleneck(nn.Module):
                       kernel_init=_KINIT, name="conv1")(x)
         out = _norm(self.norm_cfg, width, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        # 'pytorch' style: stride lives on the 3x3
-        out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2, padding=1,
-                      feature_group_count=self.groups, use_bias=False,
-                      dtype=self.dtype, kernel_init=_KINIT, name="conv2")(out)
+        if self.with_dcn:
+            # deformable 3x3 (ref: Bottleneck with dcn=dict(...)): offsets
+            # (and masks for v2) from a zero-init conv on the input feature
+            from ...ops.deform_conv import deform_conv2d
+            noff = 27 if self.dcn_modulated else 18
+            om = nn.Conv(noff, (3, 3), strides=(self.stride,) * 2, padding=1,
+                         kernel_init=nn.initializers.zeros,
+                         dtype=self.dtype, name="conv2_offset")(out)
+            offsets, mask = om[..., :18], None
+            if self.dcn_modulated:
+                mask = jax.nn.sigmoid(om[..., 18:])
+            kernel = self.param(
+                "conv2_kernel", _KINIT, (3, 3, width, width))
+            out = deform_conv2d(out, offsets, kernel.astype(self.dtype),
+                                mask=mask, stride=self.stride)
+        else:
+            # 'pytorch' style: stride lives on the 3x3
+            out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2, padding=1,
+                          feature_group_count=self.groups, use_bias=False,
+                          dtype=self.dtype, kernel_init=_KINIT,
+                          name="conv2")(out)
         out = _norm(self.norm_cfg, width, self.dtype, "bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                       kernel_init=_KINIT, name="conv3")(out)
         out = _norm(self.norm_cfg, out_ch, self.dtype, "bn3")(out)
+        if self.with_gcb:
+            from ..plugins import ContextBlock
+            out = ContextBlock(dtype=self.dtype, name="context_block")(out)
 
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
@@ -129,6 +152,11 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 4
     norm_cfg: Optional[dict] = None
+    # per-stage plugin injection (ref: ResNet(dcn=..., stage_with_dcn=...,
+    # gcb=..., stage_with_gcb=...) used by configs/dcn/* and configs/gcb/*)
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
+    dcn_modulated: bool = False
+    stage_with_gcb: Tuple[bool, ...] = (False, False, False, False)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -155,12 +183,16 @@ class ResNet(nn.Module):
                 stride = self.strides[i] if j == 0 else 1
                 # projection shortcut whenever shape changes (stride/channels)
                 downsample = j == 0 and (stride != 1 or in_ch != out_ch)
+                extra = {}
+                if block_cls is Bottleneck:
+                    extra = dict(groups=self.groups,
+                                 base_width=self.base_width,
+                                 with_dcn=self.stage_with_dcn[i],
+                                 dcn_modulated=self.dcn_modulated,
+                                 with_gcb=self.stage_with_gcb[i])
                 x = block_cls(planes=planes, stride=stride, downsample=downsample,
                               norm_cfg=self.norm_cfg, dtype=self.dtype,
-                              name=f"layer{i + 1}_{j}",
-                              **({"groups": self.groups,
-                                  "base_width": self.base_width}
-                                 if block_cls is Bottleneck else {}))(x, train)
+                              name=f"layer{i + 1}_{j}", **extra)(x, train)
                 in_ch = out_ch
             if i + 1 <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
