@@ -5,8 +5,8 @@ from .train import (train_detector, make_train_step, init_train_state,
                     parse_losses, Runner)
 from .inference import (init_detector, inference_detector, show_result,
                         DetectorHandle)
-from .test import (single_device_test, multi_host_test, aug_test,
-                   make_eval_hook, make_predict_fn)
+from .test import (single_device_test, multi_host_test, aug_test, tta_test,
+                   make_eval_hook, make_proposal_recall_hook, make_predict_fn)
 from .env import init_dist, set_random_seed, collect_env
 
 __all__ = [

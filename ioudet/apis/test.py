@@ -144,3 +144,29 @@ def make_eval_hook(val_dataset, cfg, imgs_per_batch: int = 8) -> Callable:
         return {}
 
     return hook
+
+
+def make_proposal_recall_hook(val_dataset, proposal_nums=(100, 300, 1000),
+                              iou_thrs=(0.5,), imgs_per_batch: int = 8
+                              ) -> Callable:
+    """AR@N eval for proposal models (ref: CocoDistEvalRecallHook /
+    fast_eval_recall): runs the RPN's simple_test and scores recall of the
+    kept proposals against gt boxes."""
+    from ..core.evaluation import eval_recalls
+
+    def hook(detector, params):
+        results = single_device_test(detector, params, val_dataset,
+                                     imgs_per_batch=imgs_per_batch,
+                                     progress=False)
+        gts, props = [], []
+        for i in range(len(val_dataset)):
+            ann = val_dataset.get_ann_info(i)
+            gts.append(ann["bboxes"])
+            dets = np.concatenate(results[i]) if len(results[i]) else \
+                np.zeros((0, 5), np.float32)
+            props.append(dets)
+        recalls = eval_recalls(gts, props, proposal_nums, iou_thrs)
+        return {f"AR@{n}": float(recalls[i, 0])
+                for i, n in enumerate(proposal_nums)}
+
+    return hook

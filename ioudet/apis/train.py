@@ -217,7 +217,8 @@ class Runner:
                  checkpoint_interval: int = 1, mesh=None,
                  eval_hook: Optional[Callable] = None,
                  lr_schedule: Optional[Callable] = None,
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None,
+                 tensorboard: bool = False):
         self.detector = detector
         self.train_step = train_step
         self.state = state
@@ -232,6 +233,15 @@ class Runner:
         self.epoch = 0
         os.makedirs(work_dir, exist_ok=True)
         self.log_file = os.path.join(work_dir, "log.json")
+        self.tb_writer = None
+        if tensorboard:
+            # optional TensorBoard sink (ref: TensorboardLoggerHook)
+            try:
+                import tensorflow as tf
+                self.tb_writer = tf.summary.create_file_writer(
+                    os.path.join(work_dir, "tf_logs"))
+            except ImportError:
+                self.logger.warning("tensorflow unavailable; TB logging off")
 
     def resume(self, path: Optional[str] = None) -> bool:
         path = path or latest_checkpoint(self.work_dir)
@@ -248,6 +258,17 @@ class Runner:
         if jax.process_index() == 0:
             with open(self.log_file, "a") as f:
                 f.write(json.dumps(record, default=float) + "\n")
+            if self.tb_writer is not None:
+                step = record.get("step", 0)
+                for k, v in record.items():
+                    if isinstance(v, (int, float)) and k not in ("epoch",
+                                                                 "iter",
+                                                                 "step"):
+                        with self.tb_writer.as_default():
+                            import tensorflow as tf
+                            tf.summary.scalar(
+                                f"{record.get('mode', 'train')}/{k}",
+                                float(v), step=int(step))
 
     def run(self, loader, total_epochs: int):
         for epoch in range(self.epoch, total_epochs):
@@ -368,12 +389,14 @@ def train_detector(detector, dataset, cfg, work_dir: str,
         from .test import make_eval_hook
         eval_hook = make_eval_hook(val_dataset, cfg)
 
+    log_cfg = dict(cfg.get("log_config", {}))
     runner = Runner(detector, step_fn, state, work_dir, logger=logger,
-                    log_interval=dict(cfg.get("log_config", {})).get("interval", 50),
+                    log_interval=log_cfg.get("interval", 50),
                     checkpoint_interval=dict(cfg.get("checkpoint_config", {})).get("interval", 1),
                     mesh=mesh, eval_hook=eval_hook, lr_schedule=sched,
                     meta=dict(config=getattr(cfg, "text", ""),
-                              CLASSES=getattr(dataset, "CLASSES", None)))
+                              CLASSES=getattr(dataset, "CLASSES", None)),
+                    tensorboard=log_cfg.get("tensorboard", False))
     if resume_from:
         runner.resume(resume_from)
     elif auto_resume:
