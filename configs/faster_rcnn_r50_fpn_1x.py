@@ -28,6 +28,8 @@ train_cfg = dict(
     rpn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
                            neg_iou_thr=0.3, min_pos_iou=0.3,
                            ignore_iof_thr=-1),
+             sampler=dict(type="RandomSampler", num=256, pos_fraction=0.5,
+                          neg_pos_ub=-1, add_gt_as_proposals=False),
              allowed_border=0, pos_weight=-1),
     rpn_proposal=dict(nms_pre=2000, max_num=2000, nms_thr=0.7),
     rcnn=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,

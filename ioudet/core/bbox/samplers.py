@@ -140,3 +140,23 @@ class CombinedSampler:
         pos = self.pos_sampler.sample(assign_result, k1).pos_mask
         neg = self.neg_sampler.sample(assign_result, k2).neg_mask
         return SampleMasks(pos, neg)
+
+
+_SAMPLERS = {
+    "PseudoSampler": PseudoSampler,
+    "RandomSampler": RandomSampler,
+    "InstanceBalancedPosSampler": InstanceBalancedPosSampler,
+    "IoUBalancedNegSampler": IoUBalancedNegSampler,
+    "OHEMSampler": OHEMSampler,
+}
+
+
+def build_sampler(cfg: dict):
+    """Sampler factory from a ``type=`` config dict (ref:
+    mmdet/core/bbox/assign_sampling.py (build_sampler))."""
+    cfg = dict(cfg)
+    typ = cfg.pop("type", "RandomSampler")
+    if typ == "CombinedSampler":
+        return CombinedSampler(build_sampler(cfg.pop("pos_sampler")),
+                               build_sampler(cfg.pop("neg_sampler")))
+    return _SAMPLERS[typ](**cfg)

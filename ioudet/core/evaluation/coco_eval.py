@@ -69,12 +69,14 @@ def iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarr
 def _evaluate_img(dets: np.ndarray, det_scores: np.ndarray,
                   gts: np.ndarray, gt_ignore: np.ndarray,
                   iscrowd: np.ndarray, area_rng: Tuple[float, float],
-                  max_det: int):
+                  max_det: int, gt_areas: Optional[np.ndarray] = None):
     """Match one (image, category) cell.  Returns per-iou-threshold match
     arrays in the pycocotools layout."""
     T = len(IOU_THRS)
-    # gt ignore: explicit (crowd) OR out of area range
-    g_area = gts[:, 2] * gts[:, 3]
+    # gt ignore: explicit (crowd) OR out of area range.  pycocotools gates on
+    # ann['area'] (segmentation area), which we carry via gt_areas; bbox w*h
+    # is the fallback only.
+    g_area = gt_areas if gt_areas is not None else gts[:, 2] * gts[:, 3]
     gIg = gt_ignore | (g_area < area_rng[0]) | (g_area > area_rng[1])
     # sort gts: non-ignored first (stable)
     gt_order = np.argsort(gIg, kind="mergesort")
@@ -157,13 +159,21 @@ class CocoEvaluator:
             self.img_ids.append(image_id)
         for ann in anns:
             ig = bool(ann.get("ignore", False)) or bool(ann.get("iscrowd", 0))
+            bbox = np.asarray(ann["bbox"], np.float64)
+            # area-range ignore uses ann['area'] (segmentation area) exactly
+            # like pycocotools; bbox w*h only as fallback
+            area = float(ann.get("area", bbox[2] * bbox[3]))
             self._gts[(image_id, ann["category_id"])].append(
-                (np.asarray(ann["bbox"], np.float64), ig,
-                 bool(ann.get("iscrowd", 0))))
+                (bbox, ig, bool(ann.get("iscrowd", 0)), area))
 
     def add_det_per_class(self, image_id: int, result: Sequence[np.ndarray]):
         """result: per-class list of (n, 5) xyxy+score (the bbox2result
         format); class index i -> self.cat_ids[i]."""
+        if len(result) > len(self.cat_ids):
+            raise ValueError(
+                f"model predicts {len(result)} foreground classes but the "
+                f"dataset has {len(self.cat_ids)} categories — check the "
+                f"config's num_classes against the annotation file")
         if image_id not in self.img_ids:
             self.img_ids.append(image_id)
         for ci, dets in enumerate(result):
@@ -197,10 +207,15 @@ class CocoEvaluator:
                         gts = np.array([g[0] for g in gt]).reshape(-1, 4)
                         gIg = np.array([g[1] for g in gt], bool)
                         crowd = np.array([g[2] for g in gt], bool)
+                        # back-compat: round-1 tuples had no area slot
+                        g_areas = np.array(
+                            [g[3] if len(g) > 3 else g[0][2] * g[0][3]
+                             for g in gt], np.float64)
                         dets = np.array([d[0] for d in dt]).reshape(-1, 4)
                         scores = np.array([d[1] for d in dt], np.float64)
                         evals.append(_evaluate_img(dets, scores, gts, gIg,
-                                                   crowd, rng, max_det))
+                                                   crowd, rng, max_det,
+                                                   gt_areas=g_areas))
                     if not evals:
                         continue
                     dtm = np.concatenate([e["dtm"] for e in evals], axis=1)

@@ -90,10 +90,14 @@ class CocoDataset(CustomDataset):
         info = self.img_infos[idx]
         out = []
         for ann in self._anns_by_img.get(info["id"], []):
+            w, h = float(ann["bbox"][2]), float(ann["bbox"][3])
             out.append(dict(bbox=list(map(float, ann["bbox"])),
                             category_id=ann["category_id"],
                             iscrowd=ann.get("iscrowd", 0),
-                            ignore=ann.get("ignore", False)))
+                            ignore=ann.get("ignore", False),
+                            # pycocotools gates area ranges on the
+                            # SEGMENTATION area field, not bbox w*h
+                            area=float(ann.get("area", w * h))))
         return out
 
     def evaluate(self, results, metric: str = "bbox", logger=None):

@@ -72,20 +72,33 @@ class GroupedBatchSampler:
         if self.shuffle:
             order = rng.permutation(len(batches))
             batches = [batches[i] for i in order]
-        # multi-host shard: contiguous round-robin over batches
+        # Every SPMD process must execute the SAME number of jitted collective
+        # steps or training deadlocks at the gradient AllReduce — pad the
+        # batch list to a multiple of num_shards by re-sampling batches (the
+        # DistributedGroupSampler recipe) before the round-robin split.
+        if self.num_shards > 1 and len(batches) % self.num_shards:
+            pad = (-len(batches)) % self.num_shards
+            if batches:
+                extra_ids = rng.integers(0, len(batches), pad) if self.shuffle \
+                    else np.arange(pad) % len(batches)
+                batches += [batches[int(i)] for i in extra_ids]
         for i, batch in enumerate(batches):
             if i % self.num_shards == self.shard_index:
                 yield batch
 
-    def __len__(self):
+    def _num_batches_total(self) -> int:
         total = 0
         for g in np.unique(self.flags):
-            n = (self.flags == g).sum()
+            n = int((self.flags == g).sum())
             if self.drop_last:
                 total += n // self.batch_size
             else:
                 total += -(-n // self.batch_size)
-        return total // self.num_shards
+        return total
+
+    def __len__(self):
+        # matches what every shard actually yields: padded-to-multiple split
+        return -(-self._num_batches_total() // self.num_shards)
 
 
 class DataLoader:

@@ -62,15 +62,19 @@ class CascadeRCNN(nn.Module):
                           head.target_stds)
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
-                      img_shapes, pad_shapes, rng=None):
+                      img_shapes, pad_shapes, rng=None,
+                      gt_bboxes_ignore=None, gt_ignore_valid=None):
         tcfg = dict(self.train_cfg or {})
         rpn_cfg = dict(tcfg.get("rpn", {}))
         rcnn_cfg = dict(tcfg.get("rcnn", {}))
         feats = self.extract_feat(img, train=True)
         rpn_outs = self.rpn_head(feats, train=True)
+        ig_kw = ({} if gt_bboxes_ignore is None else
+                 dict(gt_bboxes_ignore=gt_bboxes_ignore,
+                      gt_ignore_valid=gt_ignore_valid))
         losses = {f"rpn_{k}": v for k, v in self.rpn_head.loss(
             *rpn_outs, gt_bboxes, jnp.ones_like(gt_labels), gt_valid,
-            img_shapes, pad_shapes, rpn_cfg).items()}
+            img_shapes, pad_shapes, rpn_cfg, **ig_kw).items()}
 
         proposal_cfg = dict(tcfg.get("rpn_proposal",
                                      dict(nms_pre=2000, max_num=2000)))
@@ -183,7 +187,11 @@ class CascadeRCNN(nn.Module):
         num_classes = self.bbox_head[-1].num_classes
         scores = scores[:, 1:].reshape(B, P, num_classes - 1)
 
-        def single(b, s, img_shape, sf):
+        # exclude zero-padded proposal slots (same fix as TwoStageDetector
+        # .simple_test: (0,0,0,0) RoIs must not produce detections)
+        prop_valid = props[..., 4] > 0
+
+        def single(b, s, img_shape, sf, pv):
             b = clip_boxes(b, img_shape)
             if rescale:
                 b = b / sf
@@ -192,6 +200,8 @@ class CascadeRCNN(nn.Module):
                 bb.reshape(P, (num_classes - 1) * 4), s,
                 score_thr=rcnn_cfg.get("score_thr", 0.05),
                 iou_thr=rcnn_cfg.get("nms", {}).get("iou_thr", 0.5),
-                max_per_img=rcnn_cfg.get("max_per_img", 100))
+                max_per_img=rcnn_cfg.get("max_per_img", 100),
+                valid=pv)
 
-        return jax.vmap(single)(boxes, scores, img_shapes, scale_factors)
+        return jax.vmap(single)(boxes, scores, img_shapes, scale_factors,
+                                prop_valid)

@@ -53,16 +53,20 @@ class TwoStageDetector(nn.Module):
     # ------------------------------------------------------------------ train
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
-                      img_shapes, pad_shapes, rng=None):
+                      img_shapes, pad_shapes, rng=None,
+                      gt_bboxes_ignore=None, gt_ignore_valid=None):
         tcfg = dict(self.train_cfg or {})
         rpn_cfg = dict(tcfg.get("rpn", {}))
         rcnn_cfg = dict(tcfg.get("rcnn", {}))
         feats = self.extract_feat(img, train=True)
         rpn_outs = self.rpn_head(feats, train=True)
+        ig_kw = ({} if gt_bboxes_ignore is None else
+                 dict(gt_bboxes_ignore=gt_bboxes_ignore,
+                      gt_ignore_valid=gt_ignore_valid))
         # RPN is class-agnostic: binary labels
         rpn_losses = self.rpn_head.loss(
             *rpn_outs, gt_bboxes, jnp.ones_like(gt_labels), gt_valid,
-            img_shapes, pad_shapes, rpn_cfg)
+            img_shapes, pad_shapes, rpn_cfg, **ig_kw)
         rpn_losses = {f"rpn_{k}": v for k, v in rpn_losses.items()}
 
         proposal_cfg = dict(tcfg.get("rpn_proposal",
@@ -181,7 +185,12 @@ class TwoStageDetector(nn.Module):
         boxes = boxes.reshape(B, P, num_classes, 4)[:, :, 1:, :]  # drop bg
         scores = scores.reshape(B, P, num_classes - 1)
 
-        def single(b, s, img_shape, sf):
+        # zero-padded proposal slots must not reach NMS: padding rows are
+        # (0,0,0,0) RoIs at the origin whose pooled features could otherwise
+        # score above score_thr
+        prop_valid = props[..., 4] > 0
+
+        def single(b, s, img_shape, sf, pv):
             b = clip_boxes(b, img_shape)
             if rescale:
                 b = b / sf
@@ -189,9 +198,11 @@ class TwoStageDetector(nn.Module):
                 b.reshape(P, (num_classes - 1) * 4), s,
                 score_thr=rcnn_cfg.get("score_thr", 0.05),
                 iou_thr=rcnn_cfg.get("nms", {}).get("iou_thr", 0.5),
-                max_per_img=rcnn_cfg.get("max_per_img", 100))
+                max_per_img=rcnn_cfg.get("max_per_img", 100),
+                valid=pv)
 
-        return jax.vmap(single)(boxes, scores, img_shapes, scale_factors)
+        return jax.vmap(single)(boxes, scores, img_shapes, scale_factors,
+                                prop_valid)
 
     def _decode_rcnn(self, rois, bbox_pred, num_classes):
         """Class-specific decode: (R, 4C) deltas on proposal boxes."""
@@ -225,12 +236,16 @@ class RPN(nn.Module):
         return self.rpn_head(self.extract_feat(img, train=train), train=train)
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid, img_shapes,
-                      pad_shapes):
+                      pad_shapes, gt_bboxes_ignore=None,
+                      gt_ignore_valid=None):
         outs = self(img, train=True)
+        ig_kw = ({} if gt_bboxes_ignore is None else
+                 dict(gt_bboxes_ignore=gt_bboxes_ignore,
+                      gt_ignore_valid=gt_ignore_valid))
         return self.rpn_head.loss(*outs, gt_bboxes,
                                   jnp.ones_like(gt_labels), gt_valid,
                                   img_shapes, pad_shapes,
-                                  dict(self.train_cfg or {}))
+                                  dict(self.train_cfg or {}), **ig_kw)
 
     def simple_test(self, img, img_shapes, scale_factors, pad_shapes,
                     rescale: bool = True):

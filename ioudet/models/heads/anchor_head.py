@@ -139,8 +139,18 @@ class AnchorHead(nn.Module):
 
     # ---------------- training loss ----------------------------------------
 
+    @property
+    def sampling(self) -> bool:
+        """Reference semantics: anchor subsampling is on unless the cls loss
+        handles imbalance itself (ref: AnchorHead.__init__ — ``self.sampling =
+        loss_cls['type'] not in ['FocalLoss', 'GHMC']``)."""
+        cfg = self.loss_cls or dict(type="FocalLoss")
+        return cfg.get("type") not in ("FocalLoss", "GHMC")
+
     def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_valid,
-             img_shapes, pad_shapes, train_cfg) -> Dict[str, jnp.ndarray]:
+             img_shapes, pad_shapes, train_cfg,
+             rng=None, gt_bboxes_ignore=None,
+             gt_ignore_valid=None) -> Dict[str, jnp.ndarray]:
         """Args mirror the reference's loss() reshaped for fixed shapes:
         gt_bboxes (B, G, 4), gt_labels (B, G) 1-based, gt_valid (B, G) bool,
         img_shapes/pad_shapes (B, 2)."""
@@ -148,16 +158,33 @@ class AnchorHead(nn.Module):
         anchors, valid = self.get_anchors(featmap_sizes, pad_shapes)
         assigner = MaxIoUAssigner(**{k: v for k, v in train_cfg["assigner"].items()
                                      if k != "type"})
+        sampler = None
+        if self.sampling:
+            # RPN-style subsampling (ref: anchor_target sampling=True with
+            # cfg.sampler; mmdet RPN default RandomSampler 256 @ 0.5).
+            from ...core.bbox.samplers import build_sampler
+            sampler = build_sampler(train_cfg.get(
+                "sampler", dict(type="RandomSampler", num=256,
+                                pos_fraction=0.5, neg_pos_ub=-1)))
+            if rng is None:
+                rng = self.make_rng("sampler") if self.has_rng("sampler") \
+                    else jax.random.PRNGKey(0)
         targets = anchor_target(
             anchors, valid, gt_bboxes, gt_valid, gt_labels, img_shapes,
             assigner, self.target_means, self.target_stds,
             allowed_border=train_cfg.get("allowed_border", -1),
-            pos_weight=train_cfg.get("pos_weight", -1))
+            pos_weight=train_cfg.get("pos_weight", -1),
+            sampler=sampler, rng=rng,
+            gt_bboxes_ignore=gt_bboxes_ignore,
+            gt_ignore_valid=gt_ignore_valid)
 
-        num_pos = jnp.maximum(targets.num_total_pos, 1).astype(jnp.float32)
-        if not self.use_sigmoid_cls:
+        if self.sampling:
+            # normalize by the sampled set size (ref: num_total_samples =
+            # pos + neg when sampling)
             num_pos = jnp.maximum(
                 targets.num_total_pos + targets.num_total_neg, 1).astype(jnp.float32)
+        else:
+            num_pos = jnp.maximum(targets.num_total_pos, 1).astype(jnp.float32)
 
         cls_flat = self._flatten_levels(cls_scores, self.cls_out_channels)
         box_flat = self._flatten_levels(bbox_preds, 4)

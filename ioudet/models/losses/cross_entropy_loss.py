@@ -28,7 +28,22 @@ def binary_cross_entropy_with_logits(pred, target):
     return jnp.maximum(pred, 0.0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
 
 
+def _expand_binary_labels(labels, weight, channels: int):
+    """Int class labels (N,) -> per-channel binary targets (N, C) with
+    channel ``label-1`` hot for labels >= 1 (ref: cross_entropy_loss.py
+    (_expand_binary_labels)); weights broadcast across channels."""
+    one_hot = jax.nn.one_hot(labels.astype(jnp.int32) - 1, channels,
+                             dtype=jnp.float32)
+    if weight is not None and weight.ndim < 2:
+        weight = jnp.broadcast_to(weight[:, None], one_hot.shape)
+    return one_hot, weight
+
+
 def binary_cross_entropy(pred, target, weight=None, reduction="mean", avg_factor=None):
+    if pred.ndim != target.ndim:
+        # RPN-style int labels against (N, C) sigmoid logits: without the
+        # expansion pred (N,1) x target (N,) would broadcast to (N,N)
+        target, weight = _expand_binary_labels(target, weight, pred.shape[-1])
     loss = binary_cross_entropy_with_logits(pred, target)
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 

@@ -2,8 +2,10 @@
 
 RetinaNet configuration: in_channels=[256,512,1024,2048], out=256,
 start_level=1, add_extra_convs=True, num_outs=5 -> P3..P7 with P6/P7 from
-stride-2 3x3 convs on C5 (extra convs on *inputs*, the v1 default), P7 after
-a ReLU.  Top-down pathway uses nearest upsampling; with the pad-32 canvas all
+stride-2 3x3 convs on C5 (extra convs on *inputs*, the v1 default); ReLU
+between extra convs only when relu_before_extra_convs (False for RetinaNet,
+so P7 = conv(P6) directly).  Top-down pathway uses nearest upsampling; with
+the pad-32 canvas all
 upsamples are exact x2 (pure repeats — no gather).
 """
 
@@ -64,8 +66,11 @@ class FPN(nn.Module):
             if self.add_extra_convs:
                 src = inputs[end - 1] if self.extra_convs_on_inputs else outs[-1]
                 for i in range(extra_needed):
-                    if i > 0 or (i == 0 and self.relu_before_extra_convs and
-                                 not self.extra_convs_on_inputs):
+                    # ref semantics: ReLU between extra convs ONLY when
+                    # relu_before_extra_convs, never before the first (mmdet
+                    # v1 FPN.forward; RetinaNet ships with it False, so
+                    # P7 = conv(P6) with no activation)
+                    if i > 0 and self.relu_before_extra_convs:
                         src = nn.relu(src)
                     src = ConvModule(self.out_channels, (3, 3), strides=(2, 2),
                                      norm_cfg=self.norm_cfg, act=None,
