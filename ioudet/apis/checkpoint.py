@@ -124,3 +124,83 @@ def convert_torch_resnet(state_dict, depth: int = 50) -> dict:
                 conv(get(f"{base}.downsample.0.weight")))
             bn(f"{base}.downsample.1", (name, "downsample_bn"))
     return params
+
+
+def _t2np(v):
+    try:
+        return v.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(v)
+
+
+def _conv_oihw_to_hwio(w):
+    return np.ascontiguousarray(np.transpose(_t2np(w), (2, 3, 1, 0)))
+
+
+def convert_torch_fpn(state_dict, num_laterals: int) -> dict:
+    """Map mmdet FPN weights (lateral_convs.N.conv / fpn_convs.N.conv) to our
+    flax FPN tree (lateral_N/conv, fpn_N/conv, extra_N/conv).  mmdet stores
+    the stride-2 extra convs as fpn_convs[num_laterals + j]."""
+    params: dict = {}
+    for k in state_dict:
+        if not k.endswith(".conv.weight"):
+            continue
+        group, idx = k.split(".")[0], int(k.split(".")[1])
+        if group == "lateral_convs":
+            name = f"lateral_{idx}"
+        elif group == "fpn_convs":
+            name = f"fpn_{idx}" if idx < num_laterals else \
+                f"extra_{idx - num_laterals}"
+        else:
+            continue
+        base = f"{group}.{idx}.conv"
+        params[name] = {"conv": {
+            "kernel": _conv_oihw_to_hwio(state_dict[base + ".weight"]),
+            "bias": _t2np(state_dict[base + ".bias"]),
+        }}
+    return params
+
+
+def convert_torch_retina_head(state_dict, stacked_convs: int = 4) -> dict:
+    """Map mmdet RetinaHead / IoUAwareRetinaHead weights to our flax tree.
+
+    mmdet: cls_convs.N.conv, reg_convs.N.conv, retina_cls, retina_reg
+    (+ retina_iou in the fork) -> ours: cls_convN, reg_convN, retina_cls,
+    retina_reg, retina_iou.  Channel layout needs no shuffling: both sides
+    emit anchor-major (a*C + c) channels and flatten location-major.
+    """
+    params: dict = {}
+
+    def conv_entry(src, dst):
+        if src + ".weight" not in state_dict:
+            return
+        params[dst] = {
+            "kernel": _conv_oihw_to_hwio(state_dict[src + ".weight"]),
+            "bias": _t2np(state_dict[src + ".bias"]),
+        }
+
+    for i in range(stacked_convs):
+        conv_entry(f"cls_convs.{i}.conv", f"cls_conv{i}")
+        conv_entry(f"reg_convs.{i}.conv", f"reg_conv{i}")
+    for leaf in ("retina_cls", "retina_reg", "retina_iou"):
+        conv_entry(leaf, leaf)
+    return params
+
+
+def convert_torch_retinanet(state_dict, depth: int = 50,
+                            num_laterals: int = 3,
+                            stacked_convs: int = 4) -> dict:
+    """Full-detector converter for the RetinaNet/IoU-aware family: a
+    reference checkpoint ({backbone,neck,bbox_head}.-prefixed torch
+    state_dict) -> our {backbone, neck, bbox_head} flax param tree
+    (ref capability: mmcv load_checkpoint on the full model)."""
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    return {
+        "backbone": convert_torch_resnet(sub("backbone."), depth=depth),
+        "neck": convert_torch_fpn(sub("neck."), num_laterals=num_laterals),
+        "bbox_head": convert_torch_retina_head(sub("bbox_head."),
+                                               stacked_convs=stacked_convs),
+    }

@@ -152,8 +152,10 @@ def parse_losses(losses: Dict[str, jnp.ndarray]):
 # --------------------------------------------------------------------------
 
 def _needs_sampler_rng(detector) -> bool:
-    """Two-stage detectors sample proposals stochastically per step."""
-    return hasattr(detector, "bbox_roi_extractor")
+    """Two-stage proposal sampling AND RPN-style anchor subsampling
+    (non-focal cls losses) draw per-step randomness; an unused rng stream is
+    harmless, so every detector gets one."""
+    return True
 
 
 def make_train_step(detector, tx: optax.GradientTransformation,
@@ -169,7 +171,11 @@ def make_train_step(detector, tx: optax.GradientTransformation,
                     batch["gt_valid"], batch["img_shape"], batch["pad_shape"]]
             if "gt_masks" in batch:  # mask-branch detectors
                 args.append(batch["gt_masks"])
-            losses = detector.apply({"params": params}, *args,
+            kwargs = {}
+            if "gt_bboxes_ignore" in batch:  # crowd/ignore regions
+                kwargs = dict(gt_bboxes_ignore=batch["gt_bboxes_ignore"],
+                              gt_ignore_valid=batch["gt_ignore_valid"])
+            losses = detector.apply({"params": params}, *args, **kwargs,
                                     method=detector.forward_train,
                                     rngs={"sampler": jax.random.fold_in(
                                         jax.random.PRNGKey(0),
@@ -301,7 +307,8 @@ class Runner:
 
     def _to_device(self, batch):
         keep = ("img", "gt_bboxes", "gt_labels", "gt_valid", "img_shape",
-                "pad_shape", "gt_masks")
+                "pad_shape", "gt_masks", "gt_bboxes_ignore",
+                "gt_ignore_valid")
         batch = {k: batch[k] for k in keep if k in batch}
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)

@@ -64,13 +64,23 @@ def anchor_target_single(flat_anchors: jnp.ndarray,
                          allowed_border: int = -1,
                          pos_weight: float = -1.0,
                          gt_bboxes_ignore: Optional[jnp.ndarray] = None,
-                         gt_ignore_valid: Optional[jnp.ndarray] = None):
+                         gt_ignore_valid: Optional[jnp.ndarray] = None,
+                         sampler=None,
+                         rng=None):
     A = flat_anchors.shape[0]
     inside = anchor_inside_flags(flat_anchors, valid_flags, img_shape, allowed_border)
     assign = assigner.assign(flat_anchors, gt_bboxes, gt_valid, inside, gt_labels,
                              gt_bboxes_ignore, gt_ignore_valid)
-    pos = assign.gt_inds > 0
-    neg = assign.gt_inds == 0
+    if sampler is not None:
+        # sampling=True path (ref: anchor_target_single -> assign_and_sample):
+        # only the sampled subset carries loss weight; everything else is
+        # excluded exactly like the reference's index-gathered sample sets.
+        masks = sampler.sample(assign, rng)
+        pos = masks.pos_mask
+        neg = masks.neg_mask
+    else:
+        pos = assign.gt_inds > 0
+        neg = assign.gt_inds == 0
 
     G = gt_bboxes.shape[0]
     safe_gt = jnp.clip(assign.gt_inds - 1, 0, G - 1)
@@ -98,21 +108,50 @@ def anchor_target(flat_anchors: jnp.ndarray,
                   target_means: Sequence[float] = (0., 0., 0., 0.),
                   target_stds: Sequence[float] = (1., 1., 1., 1.),
                   allowed_border: int = -1,
-                  pos_weight: float = -1.0) -> AnchorTargets:
+                  pos_weight: float = -1.0,
+                  sampler=None,
+                  rng=None,
+                  gt_bboxes_ignore=None,
+                  gt_ignore_valid=None) -> AnchorTargets:
     """Batched targets.
 
     flat_anchors: (A, 4) all-level concat (shared across images).
     valid_flags: (B, A) bool per image.
     gt_bboxes: (B, G, 4); gt_valid: (B, G); gt_labels: (B, G) 1-based.
     img_shapes: (B, 2) per-image (h, w) actual content shape.
+    sampler/rng: when given, per-image anchor subsampling (RPN's
+    RandomSampler 256 @ 0.5 — the reference's sampling=True path).
+    gt_bboxes_ignore/gt_ignore_valid: (B, I, 4)/(B, I) crowd/ignore regions;
+    anchors overlapping them above the assigner's ignore_iof_thr are
+    excluded from the loss entirely.
     """
-    def single(vf, gb, gv, gl, shape):
+    B = valid_flags.shape[0]
+    keys = (jax.random.split(rng, B) if sampler is not None
+            else jnp.zeros((B, 2), jnp.uint32))
+
+    if gt_bboxes_ignore is not None:
+        def single(vf, gb, gv, gl, shape, key, gbi, giv):
+            return anchor_target_single(
+                flat_anchors, vf, gb, gv, gl, shape, assigner,
+                target_means, target_stds, allowed_border, pos_weight,
+                gt_bboxes_ignore=gbi, gt_ignore_valid=giv,
+                sampler=sampler, rng=key)
+
+        labels, lw, bt, bw, pgb, npos, nneg = jax.vmap(single)(
+            valid_flags, gt_bboxes, gt_valid, gt_labels, img_shapes, keys,
+            gt_bboxes_ignore, gt_ignore_valid)
+        return AnchorTargets(labels, lw, bt, bw, pgb,
+                             jnp.sum(npos).astype(jnp.int32),
+                             jnp.sum(nneg).astype(jnp.int32))
+
+    def single(vf, gb, gv, gl, shape, key):
         return anchor_target_single(
             flat_anchors, vf, gb, gv, gl, shape, assigner,
-            target_means, target_stds, allowed_border, pos_weight)
+            target_means, target_stds, allowed_border, pos_weight,
+            sampler=sampler, rng=key)
 
     labels, lw, bt, bw, pgb, npos, nneg = jax.vmap(single)(
-        valid_flags, gt_bboxes, gt_valid, gt_labels, img_shapes)
+        valid_flags, gt_bboxes, gt_valid, gt_labels, img_shapes, keys)
     return AnchorTargets(labels, lw, bt, bw, pgb,
                          jnp.sum(npos).astype(jnp.int32),
                          jnp.sum(nneg).astype(jnp.int32))

@@ -23,8 +23,9 @@ from ..registry import PIPELINES
 class DefaultFormatBundle:
     """Pads annotations to fixed shapes (train path)."""
 
-    def __init__(self, max_gt: int = 100):
+    def __init__(self, max_gt: int = 100, max_ignore: int = 20):
         self.max_gt = max_gt
+        self.max_ignore = max_ignore
 
     def __call__(self, results: dict) -> dict:
         boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
@@ -39,6 +40,15 @@ class DefaultFormatBundle:
         results["gt_bboxes"] = gt_bboxes
         results["gt_labels"] = gt_labels
         results["gt_valid"] = gt_valid
+        if "gt_bboxes_ignore" in results:
+            ig = results["gt_bboxes_ignore"]
+            ni = min(len(ig), self.max_ignore)
+            gt_ig = np.zeros((self.max_ignore, 4), np.float32)
+            ig_valid = np.zeros((self.max_ignore,), bool)
+            gt_ig[:ni] = ig[:ni]
+            ig_valid[:ni] = True
+            results["gt_bboxes_ignore"] = gt_ig
+            results["gt_ignore_valid"] = ig_valid
         if "gt_masks" in results:
             m = results["gt_masks"]
             s = m.shape[-1] if m.size else 112

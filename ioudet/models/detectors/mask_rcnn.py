@@ -29,15 +29,19 @@ class MaskRCNN(TwoStageDetector):
     mask_head: Optional[nn.Module] = None
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
-                      img_shapes, pad_shapes, gt_masks=None, rng=None):
+                      img_shapes, pad_shapes, gt_masks=None, rng=None,
+                      gt_bboxes_ignore=None, gt_ignore_valid=None):
         tcfg = dict(self.train_cfg or {})
         rpn_cfg = dict(tcfg.get("rpn", {}))
         rcnn_cfg = dict(tcfg.get("rcnn", {}))
         feats = self.extract_feat(img, train=True)
         rpn_outs = self.rpn_head(feats, train=True)
+        ig_kw = ({} if gt_bboxes_ignore is None else
+                 dict(gt_bboxes_ignore=gt_bboxes_ignore,
+                      gt_ignore_valid=gt_ignore_valid))
         rpn_losses = self.rpn_head.loss(
             *rpn_outs, gt_bboxes, jnp.ones_like(gt_labels), gt_valid,
-            img_shapes, pad_shapes, rpn_cfg)
+            img_shapes, pad_shapes, rpn_cfg, **ig_kw)
         rpn_losses = {f"rpn_{k}": v for k, v in rpn_losses.items()}
 
         proposal_cfg = dict(tcfg.get("rpn_proposal",

@@ -20,12 +20,15 @@ class MaskScoringRCNN(MaskRCNN):
     mask_iou_head: Optional[nn.Module] = None
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
-                      img_shapes, pad_shapes, gt_masks=None, rng=None):
+                      img_shapes, pad_shapes, gt_masks=None, rng=None,
+                      gt_bboxes_ignore=None, gt_ignore_valid=None):
         # reuse the MaskRCNN pipeline, then add the mask-IoU term computed
         # from the same sampled RoIs (a second mask forward keeps the code
         # simple; XLA CSEs the shared subgraphs)
         losses = super().forward_train(img, gt_bboxes, gt_labels, gt_valid,
-                                       img_shapes, pad_shapes, gt_masks, rng)
+                                       img_shapes, pad_shapes, gt_masks, rng,
+                                       gt_bboxes_ignore=gt_bboxes_ignore,
+                                       gt_ignore_valid=gt_ignore_valid)
         if self.mask_iou_head is None or gt_masks is None:
             return losses
         # recompute the sampled rois deterministically from the same rng

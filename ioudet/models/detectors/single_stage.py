@@ -42,11 +42,18 @@ class SingleStageDetector(nn.Module):
         return self.bbox_head(x, train=train)
 
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
-                      img_shapes, pad_shapes):
+                      img_shapes, pad_shapes,
+                      gt_bboxes_ignore=None, gt_ignore_valid=None):
         outs = self(img, train=True)
+        kw = {}
+        if gt_bboxes_ignore is not None:
+            # crowd/ignore regions (B, I, 4) + mask: consumed by the
+            # assigner's ignore_iof_thr path (ref: anchor_target_single)
+            kw = dict(gt_bboxes_ignore=gt_bboxes_ignore,
+                      gt_ignore_valid=gt_ignore_valid)
         return self.bbox_head.loss(*outs, gt_bboxes, gt_labels, gt_valid,
                                    img_shapes, pad_shapes,
-                                   dict(self.train_cfg or {}))
+                                   dict(self.train_cfg or {}), **kw)
 
     def simple_test(self, img, img_shapes, scale_factors, pad_shapes,
                     rescale: bool = True):

@@ -17,9 +17,11 @@ Normalized by num_pos like the other terms.  Default w_iou = 1.0 (paper
 ablates {0.5, 1, 2}).
 
 Inference: final score S = p**alpha * IoU_pred**(1 - alpha), alpha = 0.5
-(paper eq. 4), applied per level BEFORE the nms_pre top-k so candidate
-selection already reflects localization quality; then the standard decode ->
-concat -> multiclass NMS pipeline.
+(paper eq. 4), applied per level BEFORE the nms_pre top-k by default so
+candidate selection already reflects localization quality; then the standard
+decode -> concat -> multiclass NMS pipeline.  SURVEY flags the fork's exact
+ordering as re-verify-against-source: ``test_cfg.rescore_before_topk=False``
+switches to the rescore-after-top-k variant without code changes.
 """
 
 from __future__ import annotations
@@ -59,7 +61,9 @@ class IoUAwareRetinaHead(RetinaHead):
     # ---------------- loss -------------------------------------------------
 
     def loss(self, cls_scores, bbox_preds, iou_preds, gt_bboxes, gt_labels,
-             gt_valid, img_shapes, pad_shapes, train_cfg) -> Dict[str, jnp.ndarray]:
+             gt_valid, img_shapes, pad_shapes, train_cfg,
+             gt_bboxes_ignore=None,
+             gt_ignore_valid=None) -> Dict[str, jnp.ndarray]:
         featmap_sizes = [p.shape[1:3] for p in cls_scores]
         anchors, valid = self.get_anchors(featmap_sizes, pad_shapes)
         assigner = MaxIoUAssigner(**{k: v for k, v in train_cfg["assigner"].items()
@@ -68,7 +72,9 @@ class IoUAwareRetinaHead(RetinaHead):
             anchors, valid, gt_bboxes, gt_valid, gt_labels, img_shapes,
             assigner, self.target_means, self.target_stds,
             allowed_border=train_cfg.get("allowed_border", -1),
-            pos_weight=train_cfg.get("pos_weight", -1))
+            pos_weight=train_cfg.get("pos_weight", -1),
+            gt_bboxes_ignore=gt_bboxes_ignore,
+            gt_ignore_valid=gt_ignore_valid)
 
         num_pos = jnp.maximum(targets.num_total_pos, 1).astype(jnp.float32)
         cls_flat = self._flatten_levels(cls_scores, self.cls_out_channels)
@@ -100,7 +106,9 @@ class IoUAwareRetinaHead(RetinaHead):
     # ---------------- inference --------------------------------------------
 
     def _decode_single_iou(self, scores_l, boxes_l, ious_l, img_shape,
-                           nms_pre: int, alpha: float, eps: float = 1e-6):
+                           nms_pre: int, alpha: float,
+                           rescore_before_topk: bool = True,
+                           eps: float = 1e-6):
         featmap_sizes = [(s.shape[0], s.shape[1]) for s in scores_l]
         gens = self.anchor_generators()
         level_anchors = [g.grid_anchors(fs, st) for g, fs, st in
@@ -111,12 +119,27 @@ class IoUAwareRetinaHead(RetinaHead):
             n = h * w * self.num_anchors
             p = jax.nn.sigmoid(scores_l[lvl].reshape(n, self.cls_out_channels))
             iou_p = jax.nn.sigmoid(ious_l[lvl].reshape(n))
+
             # IoU-aware rescoring (paper eq. 4): S = p^a * IoU^(1-a)
-            rescored = jnp.power(jnp.maximum(p, eps), alpha) * \
-                jnp.power(jnp.maximum(iou_p, eps), 1.0 - alpha)[:, None]
+            def rescore(cls_p, q):
+                return jnp.power(jnp.maximum(cls_p, eps), alpha) * \
+                    jnp.power(jnp.maximum(q, eps), 1.0 - alpha)[:, None]
+
             pairs = jnp.concatenate(
                 [level_anchors[lvl], boxes_l[lvl].reshape(n, 4)], axis=-1)
-            rescored, _, pairs = self._level_topk(rescored, None, pairs, nms_pre)
+            if rescore_before_topk:
+                # default: candidate selection already reflects localization
+                # quality (SURVEY flags the fork's exact ordering as
+                # re-verify; flip via test_cfg.rescore_before_topk)
+                rescored = rescore(p, iou_p)
+                rescored, _, pairs = self._level_topk(rescored, None, pairs,
+                                                      nms_pre)
+            else:
+                # mmdet-ordering variant: top-k on raw cls scores first,
+                # rescore only the survivors
+                p_top, iou_top, pairs = self._level_topk(p, iou_p, pairs,
+                                                         nms_pre)
+                rescored = rescore(p_top, iou_top)
             boxes = delta2bbox(pairs[:, :4], pairs[:, 4:],
                                self.target_means, self.target_stds)
             cand_scores.append(rescored)
@@ -128,12 +151,14 @@ class IoUAwareRetinaHead(RetinaHead):
                           test_cfg):
         nms_pre = test_cfg.get("nms_pre", 1000)
         alpha = test_cfg.get("rescoring_alpha", 0.5)
+        before = test_cfg.get("rescore_before_topk", True)
         n_lvl = len(cls_scores)
 
         def single(img_shape, *flat):
             return self._decode_single_iou(
                 list(flat[:n_lvl]), list(flat[n_lvl:2 * n_lvl]),
-                list(flat[2 * n_lvl:]), img_shape, nms_pre, alpha)
+                list(flat[2 * n_lvl:]), img_shape, nms_pre, alpha,
+                rescore_before_topk=before)
 
         args = list(cls_scores) + list(bbox_preds) + list(iou_preds)
         return jax.vmap(single)(img_shapes, *args)

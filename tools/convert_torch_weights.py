@@ -1,7 +1,15 @@
 #!/usr/bin/env python
-"""Convert a torch .pth (torchvision / reference mmdet) ResNet backbone into
-an ioudet checkpoint for weight-parity testing (ref capability:
-mmcv load_checkpoint's torchvision:// scheme + tools/detectron2pytorch.py)."""
+"""Convert a torch .pth (torchvision / reference mmdet) checkpoint into an
+ioudet checkpoint (ref capability: mmcv load_checkpoint's torchvision://
+scheme + tools/detectron2pytorch.py).
+
+Modes:
+  default  — backbone-only (torchvision ResNet .pth or a reference
+             checkpoint's backbone.* subtree).
+  --full   — full RetinaNet-family detector: backbone + FPN neck +
+             retina head towers + retina_cls/reg(/iou).  Loadable via
+             train's load_from / test's checkpoint argument.
+"""
 
 import argparse
 import os
@@ -15,20 +23,34 @@ def main():
     p.add_argument("pth", help="torch state_dict (.pth)")
     p.add_argument("out_dir")
     p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--full", action="store_true",
+                   help="convert the full detector (backbone+neck+head)")
+    p.add_argument("--num-laterals", type=int, default=3,
+                   help="FPN lateral count (RetinaNet start_level=1 -> 3)")
+    p.add_argument("--stacked-convs", type=int, default=4)
     args = p.parse_args()
 
     import torch
-    from ioudet.apis.checkpoint import convert_torch_resnet, save_checkpoint
+    from ioudet.apis.checkpoint import (convert_torch_resnet,
+                                        convert_torch_retinanet,
+                                        save_checkpoint)
 
     sd = torch.load(args.pth, map_location="cpu", weights_only=False)
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    sd = {k.replace("backbone.", ""): v for k, v in sd.items()}
-    params = convert_torch_resnet(sd, depth=args.depth)
+
+    if args.full:
+        params = convert_torch_retinanet(sd, depth=args.depth,
+                                         num_laterals=args.num_laterals,
+                                         stacked_convs=args.stacked_convs)
+    else:
+        sd = {k.replace("backbone.", ""): v for k, v in sd.items()}
+        params = {"backbone": convert_torch_resnet(sd, depth=args.depth)}
     path = save_checkpoint(os.path.dirname(os.path.abspath(args.out_dir)) or ".",
                            os.path.basename(args.out_dir),
-                           {"params": {"backbone": params}},
-                           meta=dict(source=args.pth, depth=args.depth))
+                           {"params": params},
+                           meta=dict(source=args.pth, depth=args.depth,
+                                     full=args.full))
     print(f"wrote {path}")
 
 
