@@ -41,7 +41,10 @@ def make_predict_fn(detector, mesh=None):
 def single_device_test(detector, params, dataset, imgs_per_batch: int = 8,
                        workers: int = 4, mesh=None,
                        progress: bool = True) -> List[List[np.ndarray]]:
-    """Returns bbox2result-format detections aligned with dataset order."""
+    """Returns bbox2result-format detections aligned with dataset order.
+    Mask detectors (3-output simple_test) yield (bbox_results, segm_results)
+    tuples per image, segm as per-class lists of RLE dicts (ref:
+    coco_utils.results2json segm branch)."""
     logger = get_root_logger()
     loader = build_dataloader(dataset, imgs_per_batch, workers, shuffle=False,
                               drop_last=False)
@@ -60,20 +63,49 @@ def single_device_test(detector, params, dataset, imgs_per_batch: int = 8,
             img = pad(img)
             batch = {k: (pad(v) if isinstance(v, np.ndarray) else v)
                      for k, v in batch.items()}
-        dets, labels = predict(params, jnp.asarray(img),
-                               jnp.asarray(batch["img_shape"]),
-                               jnp.asarray(batch["scale_factor"]),
-                               jnp.asarray(batch["pad_shape"]))
-        dets = np.asarray(dets)
-        labels = np.asarray(labels)
+        out = predict(params, jnp.asarray(img),
+                      jnp.asarray(batch["img_shape"]),
+                      jnp.asarray(batch["scale_factor"]),
+                      jnp.asarray(batch["pad_shape"]))
+        dets = np.asarray(out[0])
+        labels = np.asarray(out[1])
+        mask_probs = np.asarray(out[2]) if len(out) > 2 else None
         for b in range(bsz):
             idx = int(batch["idx"][b])
-            results[idx] = bbox2result(dets[b], labels[b], num_classes)
+            bbox_res = bbox2result(dets[b], labels[b], num_classes)
+            if mask_probs is None:
+                results[idx] = bbox_res
+            else:
+                ori = batch.get("ori_shape", batch["img_shape"])[b]
+                segm_res = masks_to_segm_result(
+                    dets[b], labels[b], mask_probs[b], num_classes,
+                    int(ori[0]), int(ori[1]))
+                results[idx] = (bbox_res, segm_res)
         n_done += bsz
         if progress and n_done % (20 * imgs_per_batch) == 0:
             rate = n_done / (time.time() - t0)
             logger.info(f"eval {n_done}/{len(dataset)} ({rate:.1f} img/s)")
     return [results[i] for i in sorted(results)]
+
+
+def masks_to_segm_result(dets: np.ndarray, labels: np.ndarray,
+                         mask_probs: np.ndarray, num_classes: int,
+                         ori_h: int, ori_w: int) -> List[list]:
+    """Paste per-det box-frame mask probabilities into the original image
+    frame and RLE-encode (ref: FCNMaskHead.get_seg_masks).  dets are
+    rescale=True outputs, i.e. already in original-image coordinates."""
+    from ..core.mask import rle as rle_mod
+
+    segm: List[list] = [[] for _ in range(num_classes - 1)]
+    # keep condition MUST mirror bbox2result (labels >= 0) so segm rows stay
+    # aligned with the per-class bbox rows
+    for i in range(dets.shape[0]):
+        lab = int(labels[i])
+        if lab < 0:
+            continue
+        full = rle_mod.paste_mask(dets[i, :4], mask_probs[i], ori_h, ori_w)
+        segm[lab].append(rle_mod.encode(full))
+    return segm
 
 
 def multi_host_test(detector, params, dataset, **kwargs):

@@ -69,9 +69,12 @@ def iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarr
 def _evaluate_img(dets: np.ndarray, det_scores: np.ndarray,
                   gts: np.ndarray, gt_ignore: np.ndarray,
                   iscrowd: np.ndarray, area_rng: Tuple[float, float],
-                  max_det: int, gt_areas: Optional[np.ndarray] = None):
+                  max_det: int, gt_areas: Optional[np.ndarray] = None,
+                  d_rles: Optional[list] = None,
+                  g_rles: Optional[list] = None):
     """Match one (image, category) cell.  Returns per-iou-threshold match
-    arrays in the pycocotools layout."""
+    arrays in the pycocotools layout.  With d_rles/g_rles given, matching and
+    det-area gating run on masks (segm protocol) instead of boxes."""
     T = len(IOU_THRS)
     # gt ignore: explicit (crowd) OR out of area range.  pycocotools gates on
     # ann['area'] (segmentation area), which we carry via gt_areas; bbox w*h
@@ -88,7 +91,17 @@ def _evaluate_img(dets: np.ndarray, det_scores: np.ndarray,
     dets_s = dets[det_order]
     scores_s = det_scores[det_order]
 
-    ious = iou_xywh(dets_s, gts_s, crowd_s)
+    if d_rles is not None:
+        from ..mask import rle as rle_mod
+        d_rles_s = [d_rles[i] for i in det_order]
+        g_rles_s = [g_rles[i] for i in gt_order]
+        ious = rle_mod.iou(d_rles_s, g_rles_s, crowd_s.astype(int))
+        d_area_all = np.asarray([rle_mod.area(r) for r in d_rles_s],
+                                np.float64)
+    else:
+        ious = iou_xywh(dets_s, gts_s, crowd_s)
+        d_area_all = dets_s[:, 2] * dets_s[:, 3] if len(dets_s) else \
+            np.zeros((0,), np.float64)
     D, G = dets_s.shape[0], gts_s.shape[0]
 
     # native fast path (csrc/host_ops.cpp coco_match_cpu)
@@ -98,8 +111,8 @@ def _evaluate_img(dets: np.ndarray, det_scores: np.ndarray,
                                       gIg_s.astype(np.uint8),
                                       crowd_s.astype(np.uint8), IOU_THRS)
         if ndtm is not None:
-            d_area = dets_s[:, 2] * dets_s[:, 3]
-            out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
+            out_of_rng = (d_area_all < area_rng[0]) | \
+                (d_area_all > area_rng[1])
             ndtIg = ndtIg | ((ndtm == 0) & out_of_rng[None, :])
             return dict(dtm=ndtm, dtIg=ndtIg, scores=scores_s,
                         num_gt=int((~gIg_s).sum()))
@@ -130,8 +143,7 @@ def _evaluate_img(dets: np.ndarray, det_scores: np.ndarray,
             gtm[t, best_g] = d + 1
 
     # dets out of area range & unmatched -> ignore
-    d_area = dets_s[:, 2] * dets_s[:, 3]
-    out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
+    out_of_rng = (d_area_all < area_rng[0]) | (d_area_all > area_rng[1])
     dtIg = dtIg | ((dtm == 0) & out_of_rng[None, :])
     return dict(dtm=dtm, dtIg=dtIg, scores=scores_s,
                 num_gt=int((~gIg_s).sum()))
@@ -146,15 +158,19 @@ class CocoEvaluator:
     add_json_style list of dicts.
     """
 
-    def __init__(self, cat_ids: Sequence[int]):
+    def __init__(self, cat_ids: Sequence[int], mode: str = "bbox"):
+        assert mode in ("bbox", "segm"), mode
         self.cat_ids = list(cat_ids)
+        self.mode = mode
         self._gts: Dict[Tuple[int, int], list] = defaultdict(list)
         self._dts: Dict[Tuple[int, int], list] = defaultdict(list)
         self.img_ids: List[int] = []
 
     # ------------- feeding -------------------------------------------------
 
-    def add_gt(self, image_id: int, anns: Sequence[dict]):
+    def add_gt(self, image_id: int, anns: Sequence[dict],
+               img_size: Optional[Tuple[int, int]] = None):
+        """img_size (h, w): required in segm mode to rasterize polygon gts."""
         if image_id not in self.img_ids:
             self.img_ids.append(image_id)
         for ann in anns:
@@ -163,26 +179,40 @@ class CocoEvaluator:
             # area-range ignore uses ann['area'] (segmentation area) exactly
             # like pycocotools; bbox w*h only as fallback
             area = float(ann.get("area", bbox[2] * bbox[3]))
+            g_rle = None
+            if self.mode == "segm":
+                from ..mask import rle as rle_mod
+                segm = ann.get("segmentation")
+                if segm is None:
+                    raise ValueError(
+                        "segm evaluation needs 'segmentation' on every gt")
+                h, w = img_size if img_size is not None else ann["size"]
+                g_rle = rle_mod.ann_to_rle(segm, h, w)
             self._gts[(image_id, ann["category_id"])].append(
-                (bbox, ig, bool(ann.get("iscrowd", 0)), area))
+                (bbox, ig, bool(ann.get("iscrowd", 0)), area, g_rle))
 
-    def add_det_per_class(self, image_id: int, result: Sequence[np.ndarray]):
+    def add_det_per_class(self, image_id: int, result: Sequence[np.ndarray],
+                          segms: Optional[Sequence[list]] = None):
         """result: per-class list of (n, 5) xyxy+score (the bbox2result
-        format); class index i -> self.cat_ids[i]."""
+        format); class index i -> self.cat_ids[i].  segms: per-class lists
+        of RLE dicts aligned with result rows (segm mode)."""
         if len(result) > len(self.cat_ids):
             raise ValueError(
                 f"model predicts {len(result)} foreground classes but the "
                 f"dataset has {len(self.cat_ids)} categories — check the "
                 f"config's num_classes against the annotation file")
+        if self.mode == "segm" and segms is None:
+            raise ValueError("segm evaluation needs per-det RLE masks")
         if image_id not in self.img_ids:
             self.img_ids.append(image_id)
         for ci, dets in enumerate(result):
             if len(dets) == 0:
                 continue
             xywh = xyxy2xywh(dets[:, :4])
-            for row, score in zip(xywh, dets[:, 4]):
+            for di, (row, score) in enumerate(zip(xywh, dets[:, 4])):
+                d_rle = segms[ci][di] if segms is not None else None
                 self._dts[(image_id, self.cat_ids[ci])].append(
-                    (row, float(score)))
+                    (row, float(score), d_rle))
 
     # ------------- evaluation ----------------------------------------------
 
@@ -211,11 +241,17 @@ class CocoEvaluator:
                         g_areas = np.array(
                             [g[3] if len(g) > 3 else g[0][2] * g[0][3]
                              for g in gt], np.float64)
+                        d_rles = g_rles = None
+                        if self.mode == "segm":
+                            d_rles = [d[2] for d in dt]
+                            g_rles = [g[4] for g in gt]
                         dets = np.array([d[0] for d in dt]).reshape(-1, 4)
                         scores = np.array([d[1] for d in dt], np.float64)
                         evals.append(_evaluate_img(dets, scores, gts, gIg,
                                                    crowd, rng, max_det,
-                                                   gt_areas=g_areas))
+                                                   gt_areas=g_areas,
+                                                   d_rles=d_rles,
+                                                   g_rles=g_rles))
                     if not evals:
                         continue
                     dtm = np.concatenate([e["dtm"] for e in evals], axis=1)

@@ -85,44 +85,78 @@ class CocoDataset(CustomDataset):
 
     # ---- evaluation --------------------------------------------------------
 
-    def gt_for_eval(self, idx: int) -> List[dict]:
+    def gt_for_eval(self, idx: int, with_segm: bool = False) -> List[dict]:
         """COCO-protocol gt dicts (xywh, no +1 — pycocotools convention)."""
         info = self.img_infos[idx]
         out = []
         for ann in self._anns_by_img.get(info["id"], []):
             w, h = float(ann["bbox"][2]), float(ann["bbox"][3])
-            out.append(dict(bbox=list(map(float, ann["bbox"])),
-                            category_id=ann["category_id"],
-                            iscrowd=ann.get("iscrowd", 0),
-                            ignore=ann.get("ignore", False),
-                            # pycocotools gates area ranges on the
-                            # SEGMENTATION area field, not bbox w*h
-                            area=float(ann.get("area", w * h))))
+            d = dict(bbox=list(map(float, ann["bbox"])),
+                     category_id=ann["category_id"],
+                     iscrowd=ann.get("iscrowd", 0),
+                     ignore=ann.get("ignore", False),
+                     # pycocotools gates area ranges on the
+                     # SEGMENTATION area field, not bbox w*h
+                     area=float(ann.get("area", w * h)))
+            if with_segm:
+                d["segmentation"] = ann.get("segmentation")
+            out.append(d)
         return out
 
-    def evaluate(self, results, metric: str = "bbox", logger=None):
-        """results: list (len == len(self)) of bbox2result per-class lists."""
+    def evaluate(self, results, metric="bbox", logger=None):
+        """results: list (len == len(self)) of bbox2result per-class lists,
+        or (bbox_results, segm_results) tuples from mask detectors.
+        metric: 'bbox' | 'segm' | list of both (ref: coco_utils.coco_eval)."""
         from ...core.evaluation import CocoEvaluator, print_coco_summary
-        ev = CocoEvaluator(self.cat_ids)
-        for idx in range(len(self)):
-            ev.add_gt(self.img_infos[idx]["id"], self.gt_for_eval(idx))
-            ev.add_det_per_class(self.img_infos[idx]["id"], results[idx])
-        metrics = ev.evaluate()
-        summary = print_coco_summary(metrics)
-        (logger.info if logger else print)(summary)
-        return metrics
+        metrics_req = [metric] if isinstance(metric, str) else list(metric)
+        all_metrics = {}
+        log = logger.info if logger else print
+        for m in metrics_req:
+            assert m in ("bbox", "segm"), m
+            ev = CocoEvaluator(self.cat_ids, mode=m)
+            for idx in range(len(self)):
+                info = self.img_infos[idx]
+                ev.add_gt(info["id"], self.gt_for_eval(idx,
+                                                       with_segm=m == "segm"),
+                          img_size=(info["height"], info["width"]))
+                res = results[idx]
+                if isinstance(res, tuple):
+                    bbox_res, segm_res = res
+                else:
+                    bbox_res, segm_res = res, None
+                if m == "segm":
+                    if segm_res is None:
+                        raise ValueError(
+                            "segm metric requested but results carry no "
+                            "masks — is the model a mask detector?")
+                    ev.add_det_per_class(info["id"], bbox_res, segms=segm_res)
+                else:
+                    ev.add_det_per_class(info["id"], bbox_res)
+            mm = ev.evaluate()
+            log(f"--- {m} ---")
+            log(print_coco_summary(mm))
+            if len(metrics_req) == 1:
+                all_metrics.update(mm)
+            else:
+                all_metrics.update({f"{m}_{k}": v for k, v in mm.items()})
+        return all_metrics
 
     def results2json(self, results) -> List[dict]:
-        """ref: mmdet/core/evaluation/coco_utils.py (results2json)."""
+        """ref: mmdet/core/evaluation/coco_utils.py (results2json) — bbox
+        records, plus segmentation RLEs when results carry masks."""
         from ...core.evaluation.coco_eval import xyxy2xywh
         out = []
-        for idx, per_cls in enumerate(results):
+        for idx, res in enumerate(results):
             img_id = self.img_infos[idx]["id"]
+            per_cls, segms = (res if isinstance(res, tuple) else (res, None))
             for ci, dets in enumerate(per_cls):
-                for det in dets:
-                    out.append(dict(
+                for di, det in enumerate(dets):
+                    rec = dict(
                         image_id=img_id,
                         bbox=[float(v) for v in xyxy2xywh(det[None, :4])[0]],
                         score=float(det[4]),
-                        category_id=self.cat_ids[ci]))
+                        category_id=self.cat_ids[ci])
+                    if segms is not None:
+                        rec["segmentation"] = segms[ci][di]
+                    out.append(rec)
         return out

@@ -51,8 +51,10 @@ def main():
         with open(args.json_out, "w") as f:
             json.dump(dataset.results2json(results), f)
     for metric in args.eval:
-        if metric in ("bbox", "mAP") and hasattr(dataset, "evaluate"):
-            print(dataset.evaluate(results))
+        if metric in ("bbox", "segm", "mAP") and hasattr(dataset, "evaluate"):
+            print(dataset.evaluate(results,
+                                   **({} if metric == "mAP"
+                                      else dict(metric=metric))))
 
 
 if __name__ == "__main__":
