@@ -28,7 +28,7 @@ NEG_INF = jnp.float32(-1e10)
 
 
 @partial(jax.jit, static_argnames=("score_thr", "iou_thr", "max_per_img",
-                                   "pre_nms_total", "nms_type"))
+                                   "pre_nms_total", "nms_type", "class_topk"))
 def multiclass_nms(multi_bboxes: jnp.ndarray,
                    multi_scores: jnp.ndarray,
                    score_thr: float,
@@ -37,13 +37,21 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                    score_factors: Optional[jnp.ndarray] = None,
                    valid: Optional[jnp.ndarray] = None,
                    pre_nms_total: int = 2000,
-                   nms_type: str = "nms") -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   nms_type: str = "nms",
+                   class_topk: Optional[int] = None
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Args:
         multi_bboxes: (N, 4) class-agnostic or (N, C*4) per-class boxes.
         multi_scores: (N, C) foreground class scores (sigmoid, no bg column).
         score_factors: optional (N,) multiplier.
         valid: optional (N,) candidate mask (fixed-shape padding).
         nms_type: 'nms' (exact greedy) | 'matrix' (parallel soft, fast path).
+        class_topk: keep only each anchor's top-k classes before the global
+            candidate selection (None = exact, all N*C compete).  Sorting the
+            full N*C flat score vector is the NMS bottleneck on TPU (~9 ms at
+            batch 16); pruning to k<<C classes per anchor cuts it ~10x.  An
+            anchor's (k+1)-th class entering the final top-100 is vanishingly
+            rare (standard TensorRT BatchedNMS-style optimization).
 
     Returns:
         dets: (max_per_img, 5) [x1, y1, x2, y2, score], zero-padded.
@@ -65,9 +73,17 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     else:
         boxes_pc = multi_bboxes.reshape(n, num_classes, 4)
 
-    flat_scores = scores.reshape(-1)                       # (N*C,)
-    flat_boxes = boxes_pc.reshape(-1, 4)
-    flat_labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+    if class_topk is not None and class_topk < num_classes:
+        # per-anchor class pruning: small-k top_k over the class axis
+        cls_scores, cls_idx = jax.lax.top_k(scores, class_topk)  # (N, k)
+        flat_scores = cls_scores.reshape(-1)                     # (N*k,)
+        flat_labels = cls_idx.reshape(-1).astype(jnp.int32)
+        gath = jnp.take_along_axis(boxes_pc, cls_idx[..., None], axis=1)
+        flat_boxes = gath.reshape(-1, 4)
+    else:
+        flat_scores = scores.reshape(-1)                       # (N*C,)
+        flat_boxes = boxes_pc.reshape(-1, 4)
+        flat_labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
     ok = flat_scores > score_thr
 
     k = min(pre_nms_total, flat_scores.shape[0])

@@ -224,18 +224,34 @@ class AnchorHead(nn.Module):
         cand_scores, cand_boxes = [], []
         for lvl, (s, bp) in enumerate(zip(per_level_scores, per_level_boxes)):
             h, w, _ = s.shape
-            s2 = s.reshape(h * w * self.num_anchors, self.cls_out_channels)
-            if self.use_sigmoid_cls:
-                probs = jax.nn.sigmoid(s2)
-            else:
-                probs = jax.nn.softmax(s2, axis=-1)[:, 1:]  # drop bg col
-            if per_level_factors is not None:
-                f = per_level_factors[lvl].reshape(-1)
-                probs = probs * jax.nn.sigmoid(f)[:, None]
-            b2 = bp.reshape(h * w * self.num_anchors, 4)
+            n = h * w * self.num_anchors
+            s2 = s.reshape(n, self.cls_out_channels)
+            b2 = bp.reshape(n, 4)
             # carry (anchor, delta) pairs through the same top-k gather
             pairs = jnp.concatenate([level_anchors[lvl], b2], axis=-1)
-            probs, _, pairs = self._level_topk(probs, None, pairs, nms_pre)
+            if self.use_sigmoid_cls:
+                # PERF: select by a 1-D monotone proxy (max logit [+ factor
+                # logit]) so the (N, C) sigmoid runs on only the nms_pre
+                # survivors — sigmoid is monotone and commutes with max
+                proxy = jax.nn.log_sigmoid(
+                    jnp.max(s2, axis=-1).astype(jnp.float32))
+                if per_level_factors is not None:
+                    f = per_level_factors[lvl].reshape(-1)
+                    proxy = proxy + jax.nn.log_sigmoid(f.astype(jnp.float32))
+                k = min(nms_pre, n)
+                _, idx = jax.lax.top_k(proxy, k)
+                probs = jax.nn.sigmoid(s2[idx])
+                if per_level_factors is not None:
+                    f = per_level_factors[lvl].reshape(-1)
+                    probs = probs * jax.nn.sigmoid(f[idx])[:, None]
+                pairs = pairs[idx]
+            else:
+                probs = jax.nn.softmax(s2, axis=-1)[:, 1:]  # drop bg col
+                if per_level_factors is not None:
+                    f = per_level_factors[lvl].reshape(-1)
+                    probs = probs * jax.nn.sigmoid(f)[:, None]
+                probs, _, pairs = self._level_topk(probs, None, pairs,
+                                                   nms_pre)
             boxes = delta2bbox(pairs[:, :4], pairs[:, 4:], self.target_means,
                                self.target_stds, max_shape=None)
             cand_scores.append(probs)
@@ -283,13 +299,15 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
     max_per_img = test_cfg.get("max_per_img", 100)
     nms_type = test_cfg.get("nms", {}).get("type", "nms")
     pre_nms_total = test_cfg.get("pre_nms_total", 2000)
+    class_topk = test_cfg.get("class_topk", None)
 
     def single(b, s, sf):
         if rescale:
             b = b / sf
         return multiclass_nms(b, s, score_thr=score_thr, iou_thr=iou_thr,
                               max_per_img=max_per_img, nms_type=nms_type,
-                              pre_nms_total=pre_nms_total)
+                              pre_nms_total=pre_nms_total,
+                              class_topk=class_topk)
 
     return jax.vmap(single)(boxes, scores, scale_factors)
 

