@@ -9,7 +9,8 @@ Baseline 12 img/s = the reference's RetinaNet R-50-FPN @1333x800 batch-1 on
 
 The measured program is the full fixed-shape inference path: backbone -> FPN
 -> 3-branch head -> per-level top-k -> decode -> IoU rescoring -> batched
-multiclass NMS, one XLA program, batch 8, canvas 832x1344, bf16 compute.
+multiclass NMS, one XLA program, batch 16 (BENCH_BATCH), canvas 832x1344,
+bf16 compute.
 """
 
 import json
@@ -53,7 +54,7 @@ def main():
     # EVERY input buffer is unique (seeded by time+pid): the runtime relay
     # memoizes results of identical (program, args) calls — across processes
     # too — which would fake the measurement by orders of magnitude.
-    iters = int(os.environ.get("BENCH_ITERS", 12))
+    iters = int(os.environ.get("BENCH_ITERS", 16))
     rng = np.random.default_rng(os.getpid() ^ time.time_ns())
     # one base array + a unique offset per iteration: unique buffers (the
     # relay memoizes identical args) without paying ~1e10 RNG samples
@@ -75,8 +76,9 @@ def main():
     # dispatch+fetch round trip costs ~27 ms — fetching EVERY iteration
     # would overstate per-batch cost by that much, so the fetch is
     # amortized over CHAIN carry-dependent iterations (still every input
-    # unique, still serially chained; queues this short do not hit the
-    # relay's long-queue replay pathology).
+    # unique, still serially chained).  CHAIN=4 measured safe; CHAIN=8
+    # crosses the relay's long-unfetched-queue threshold and triggers its
+    # ~3 s/step replay pathology (measured: 161 img/s at 4, 6 img/s at 8).
     chain = int(os.environ.get("BENCH_CHAIN", 4))
     carry = jnp.float32(0.0)
     times = []

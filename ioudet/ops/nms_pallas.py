@@ -78,6 +78,99 @@ def suppression_matrix(boxes: jnp.ndarray, iou_thr: float) -> jnp.ndarray:
     )(thr, boxes.astype(jnp.float32), boxes.astype(jnp.float32))
 
 
+def _greedy_kernel(boxes_ref, boxes_t_ref, valid_ref, keep_ref, sup_scratch,
+                   *, iou_thr: float, n: int):
+    """Whole greedy NMS in ONE kernel pass: boxes stay VMEM-resident, the
+    (128, N) IoU block is computed on the fly per row-block (never hits
+    HBM), and the inherently-sequential greedy recurrence runs as a
+    128-step inner loop per block with vector-wide suppression updates.
+
+    boxes_ref: (N, 4) f32 score-descending (row-block source);
+    boxes_t_ref: (4, N) f32 transpose (lane-layout column source — feeding
+    both layouts avoids an in-kernel relayout); valid_ref: (1, N) f32;
+    keep_ref: (1, N) f32 out.  N % 128 == 0.
+    """
+    thr = jnp.float32(iou_thr)
+    bt = boxes_ref[:, :]                      # (N, 4)
+    x1 = boxes_t_ref[0:1, :]                  # (1, N)
+    y1 = boxes_t_ref[1:2, :]
+    x2 = boxes_t_ref[2:3, :]
+    y2 = boxes_t_ref[3:4, :]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)  # (1, N), +1 convention
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    # invalid boxes start suppressed: they never suppress anyone
+    supp = 1.0 - valid_ref[:, :]              # (1, N) f32
+
+    for b in range(n // TILE):
+        rows = bt[b * TILE:(b + 1) * TILE, :]  # (128, 4) static slice
+        rx1 = rows[:, 0:1]
+        ry1 = rows[:, 1:2]
+        rx2 = rows[:, 2:3]
+        ry2 = rows[:, 3:4]
+        iw = jnp.maximum(
+            jnp.minimum(rx2, x2) - jnp.maximum(rx1, x1) + 1.0, 0.0)
+        ih = jnp.maximum(
+            jnp.minimum(ry2, y2) - jnp.maximum(ry1, y1) + 1.0, 0.0)
+        inter = iw * ih                        # (128, N)
+        rarea = (rx2 - rx1 + 1.0) * (ry2 - ry1 + 1.0)
+        iou = inter / jnp.maximum(rarea + area - inter, 1e-10)
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (TILE, n), 0) + b * TILE
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (TILE, n), 1)
+        # stage the block in VMEM scratch: refs support pl.ds row reads in
+        # the sequential loop (dynamic_slice on values has no TPU lowering)
+        sup_scratch[:, :] = jnp.where((iou > thr) & (col_g > row_g), 1.0, 0.0)
+
+        def inner(i, supp):
+            gi = b * TILE + i
+            # suppressed-state of row gi, extracted lane-wise
+            m = (lane == gi).astype(jnp.float32)
+            keep_i = 1.0 - jnp.sum(supp * m)
+            sup_i = sup_scratch[pl.ds(i, 1), :]
+            return jnp.maximum(supp, sup_i * keep_i)
+
+        supp = jax.lax.fori_loop(0, TILE, inner, supp)
+
+    keep_ref[:, :] = valid_ref[:, :] * (1.0 - supp)
+
+
+@partial(jax.jit, static_argnames=("iou_thr",))
+def greedy_keep_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
+                       iou_thr: float) -> jnp.ndarray:
+    """Exact greedy NMS keep mask, single fused kernel.
+
+    boxes: (N, 4) score-descending; valid: (N,) bool.  N is padded to a
+    multiple of 128 internally.  Returns keep (N,) bool — bit-identical to
+    ops.nms.greedy_suppress over bbox_overlaps (+1 convention) — with no
+    HBM-resident (N, N) IoU matrix: the suppression block lives in VMEM.
+
+    Measured on v5e (N=2000, batch 16, uniform random boxes): 11.1 ms vs
+    7.1 ms for the XLA fixed-point — the 16x128-step sequential inner loop
+    is latency-bound while the Jacobi sweep converges in ~chain-depth
+    parallel passes, so the XLA path stays the production default and this
+    kernel is opt-in via nms_type='pallas_greedy' (it would win only on
+    adversarial deep-chain data where the fixed point needs many sweeps).
+    """
+    n0 = boxes.shape[0]
+    n = -(-n0 // TILE) * TILE
+    if n != n0:
+        boxes = jnp.pad(boxes, ((0, n - n0), (0, 0)))
+        valid = jnp.pad(valid, (0, n - n0))
+    interpret = jax.default_backend() == "cpu"
+    boxes = boxes.astype(jnp.float32)
+    keep = pl.pallas_call(
+        partial(_greedy_kernel, iou_thr=float(iou_thr), n=n),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE, n), jnp.float32)],
+        interpret=interpret,
+    )(boxes, boxes.T, valid.astype(jnp.float32).reshape(1, n))
+    return keep[0, :n0] > 0.5
+
+
 def greedy_nms_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
                       iou_thr: float) -> jnp.ndarray:
     """Exact greedy NMS using the Pallas suppression matrix + the fixed-point
