@@ -101,9 +101,14 @@ DEFAULT_TEST_PIPELINE = [
 
 def _prepare_image(img: Union[str, np.ndarray], pipeline) -> dict:
     if isinstance(img, str):
-        from PIL import Image
-        arr = np.asarray(Image.open(img).convert("RGB"))
-        order = "rgb"
+        try:
+            import cv2
+            arr = cv2.imread(img, cv2.IMREAD_COLOR)  # mmcv.imread parity
+            order = "bgr"
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+            arr = np.asarray(Image.open(img).convert("RGB"))
+            order = "rgb"
     else:
         arr = np.asarray(img)
         order = "bgr"  # reference contract: raw arrays are BGR (cv2-style)
@@ -151,13 +156,32 @@ def inference_detector(handle: DetectorHandle,
 
 def _inference_device_preprocess(handle: DetectorHandle,
                                  img: Union[str, np.ndarray]) -> List[np.ndarray]:
-    from ..ops.preprocess import preprocess
+    from ..ops.preprocess import preprocess, IMAGENET_MEAN, IMAGENET_STD
 
+    # mirror the host pipeline's Normalize semantics exactly: images start
+    # life BGR (cv2/mmcv contract) and are flipped to RGB iff to_rgb=True
+    mean, std, to_rgb = IMAGENET_MEAN, IMAGENET_STD, True
+    try:
+        for s in handle.cfg.data.test.pipeline:
+            steps = s.get("transforms", [s]) if isinstance(s, dict) else [s]
+            for t in steps:
+                if t.get("type") == "Normalize":
+                    mean = tuple(t.get("mean", mean))
+                    std = tuple(t.get("std", std))
+                    to_rgb = bool(t.get("to_rgb", True))
+    except (AttributeError, KeyError):
+        pass
     if isinstance(img, str):
-        from PIL import Image
-        arr = np.asarray(Image.open(img).convert("RGB"))
+        try:
+            import cv2
+            arr = cv2.imread(img, cv2.IMREAD_COLOR)  # BGR
+        except ImportError:  # pragma: no cover
+            from PIL import Image
+            arr = np.asarray(Image.open(img).convert("RGB"))[..., ::-1]
     else:
-        arr = np.asarray(img)[..., ::-1]  # BGR arrays -> RGB
+        arr = np.asarray(img)  # raw arrays are BGR (cv2-style contract)
+    if to_rgb:
+        arr = arr[..., ::-1]
     h, w = arr.shape[:2]
     # bucket the raw shape so compilations are reused across images
     bh = max(256, int(np.ceil(h / 256)) * 256)
@@ -177,7 +201,7 @@ def _inference_device_preprocess(handle: DetectorHandle,
         canvas = (canvas[1], canvas[0])
     dev_img, img_shape, factor = preprocess(
         jnp.asarray(raw), jnp.asarray([h, w], jnp.int32), canvas=canvas,
-        max_scale=scale)
+        max_scale=scale, mean=mean, std=std)
     predict = handle.predict_fn()
     dets, labels = predict(
         handle.params, dev_img[None], img_shape[None],

@@ -8,14 +8,22 @@ import os
 import numpy as np
 from PIL import Image
 
+try:  # cv2.imread is mmcv.imread: exact decode parity with the reference
+    import cv2
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
 from ..registry import PIPELINES
 
 
 @PIPELINES.register_module
 class LoadImageFromFile:
     """Reads a file into an HWC uint8 array.  The reference loads BGR via
-    cv2; we load RGB via PIL and tag ``channel_order`` so Normalize's
-    ``to_rgb`` handling stays consistent."""
+    cv2 (mmcv.imread); with cv2 present we do exactly that (same JPEG IDCT,
+    same channel order) and tag ``channel_order='bgr'`` so Normalize's
+    ``to_rgb`` flip reproduces the reference numerics bit-for-bit.  PIL
+    (RGB) is only an import-time fallback."""
 
     def __init__(self, to_float32: bool = False):
         self.to_float32 = to_float32
@@ -25,12 +33,19 @@ class LoadImageFromFile:
         prefix = results.get("img_prefix")
         if prefix:
             path = os.path.join(prefix, path)
-        img = np.asarray(Image.open(path).convert("RGB"))
+        if _HAS_CV2:
+            img = cv2.imread(path, cv2.IMREAD_COLOR)  # HWC BGR uint8
+            if img is None:
+                raise FileNotFoundError(f"cv2 could not read {path}")
+            order = "bgr"
+        else:
+            img = np.asarray(Image.open(path).convert("RGB"))
+            order = "rgb"
         if self.to_float32:
             img = img.astype(np.float32)
         results["filename"] = path
         results["img"] = img
-        results["channel_order"] = "rgb"
+        results["channel_order"] = order
         results["img_shape"] = img.shape[:2]
         results["ori_shape"] = img.shape[:2]
         return results
@@ -44,11 +59,13 @@ class LoadAnnotations:
     pycocotools RLE decode."""
 
     def __init__(self, with_bbox: bool = True, with_label: bool = True,
-                 with_mask: bool = False, mask_size: int = 112,
+                 with_mask: bool = False, with_seg: bool = False,
+                 mask_size: int = 112,
                  skip_img_without_anno: bool = True):
         self.with_bbox = with_bbox
         self.with_label = with_label
         self.with_mask = with_mask
+        self.with_seg = with_seg
         self.mask_size = mask_size
 
     def __call__(self, results: dict) -> dict:
@@ -68,6 +85,22 @@ class LoadAnnotations:
             results["gt_masks"] = (
                 np.stack(crops) if crops else
                 np.zeros((0, self.mask_size, self.mask_size), np.uint8))
+        if self.with_seg:
+            # stuff-segmentation label map for HTC's semantic branch (ref:
+            # LoadAnnotations with_seg reading seg_prefix/<img>.png)
+            seg_name = ann.get("seg_map")
+            if seg_name is None:
+                base = os.path.basename(results["img_info"]["filename"])
+                seg_name = os.path.splitext(base)[0] + ".png"
+            seg_path = os.path.join(results.get("seg_prefix") or "", seg_name)
+            if os.path.exists(seg_path):
+                seg = np.asarray(Image.open(seg_path))
+                if seg.ndim == 3:
+                    seg = seg[..., 0]
+                results["gt_semantic_seg"] = seg.astype(np.uint8)
+            else:  # no stuff maps on disk: all-ignore (loss masks it out)
+                results["gt_semantic_seg"] = np.full(
+                    results["img"].shape[:2], 255, np.uint8)
         return results
 
 

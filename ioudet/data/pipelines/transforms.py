@@ -23,6 +23,12 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+try:  # cv2 gives EXACT mmcv.imresize numerics (INTER_LINEAR, no antialias)
+    import cv2
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover - env always ships cv2
+    _HAS_CV2 = False
+
 from ..registry import PIPELINES
 
 
@@ -34,10 +40,26 @@ def imrescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, fl
 
 
 def imresize(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
-    """Bilinear resize via PIL (matches cv2.INTER_LINEAR closely)."""
+    """Bilinear resize, bit-exact with mmcv.imresize (cv2.INTER_LINEAR,
+    align_corners=False, no antialias).  PIL's antialiased bilinear is NOT
+    cv2's (measured up to ~30 LSB on checkerboards — see
+    tests/test_resize_parity.py), so cv2 is mandatory for mAP parity; PIL
+    only remains as an import-time fallback for cv2-less environments."""
+    if _HAS_CV2:
+        return cv2.resize(img, (size_hw[1], size_hw[0]),
+                          interpolation=cv2.INTER_LINEAR)
     pil = Image.fromarray(img.astype(np.uint8))
     out = pil.resize((size_hw[1], size_hw[0]), Image.BILINEAR)
     return np.asarray(out)
+
+
+def imresize_nearest(img: np.ndarray, size_hw: Tuple[int, int]) -> np.ndarray:
+    """Nearest resize for label maps (mmcv interpolation='nearest')."""
+    if _HAS_CV2:
+        return cv2.resize(img, (size_hw[1], size_hw[0]),
+                          interpolation=cv2.INTER_NEAREST)
+    pil = Image.fromarray(img)
+    return np.asarray(pil.resize((size_hw[1], size_hw[0]), Image.NEAREST))
 
 
 @PIPELINES.register_module
@@ -80,6 +102,9 @@ class Resize:
             results["gt_bboxes"] = results["gt_bboxes"] * factor
         if "gt_bboxes_ignore" in results and len(results["gt_bboxes_ignore"]):
             results["gt_bboxes_ignore"] = results["gt_bboxes_ignore"] * factor
+        if "gt_semantic_seg" in results:  # label map: nearest, no interp
+            results["gt_semantic_seg"] = imresize_nearest(
+                results["gt_semantic_seg"], (nh, nw))
         return results
 
 
@@ -107,6 +132,9 @@ class RandomFlip:
                 # box-frame masks mirror with their box
                 results["gt_masks"] = np.ascontiguousarray(
                     results["gt_masks"][:, :, ::-1])
+            if "gt_semantic_seg" in results:
+                results["gt_semantic_seg"] = np.ascontiguousarray(
+                    results["gt_semantic_seg"][:, ::-1])
         return results
 
 
@@ -161,12 +189,39 @@ class Pad:
         canvas = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
         canvas[:h, :w] = img
         results["img"] = canvas
+        if "gt_semantic_seg" in results:  # pad label map with ignore=255
+            seg = results["gt_semantic_seg"]
+            seg_canvas = np.full((th, tw), 255, seg.dtype)
+            seg_canvas[:seg.shape[0], :seg.shape[1]] = seg
+            results["gt_semantic_seg"] = seg_canvas
+        return results
+
+
+@PIPELINES.register_module
+class SegRescale:
+    """Downscale the semantic label map to the head's stride (ref:
+    mmdet/datasets/pipelines/transforms.py (SegRescale), HTC uses 1/8)."""
+
+    def __init__(self, scale_factor: float = 1.0):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results: dict) -> dict:
+        if "gt_semantic_seg" in results and self.scale_factor != 1.0:
+            seg = results["gt_semantic_seg"]
+            nh = int(seg.shape[0] * self.scale_factor)
+            nw = int(seg.shape[1] * self.scale_factor)
+            results["gt_semantic_seg"] = imresize_nearest(seg, (nh, nw))
         return results
 
 
 @PIPELINES.register_module
 class PhotoMetricDistortion:
-    """SSD-style color jitter (brightness/contrast/saturation/hue), numpy."""
+    """SSD color jitter, structured exactly like the reference
+    (mmdet/datasets/extra_aug.py (PhotoMetricDistortion)): brightness,
+    contrast (before OR after HSV ops per a mode coin), saturation + hue in
+    float HSV (degrees, [0,360)), then a random channel swap.  Runs on
+    float32 pixels in [0,255] like the reference; output is NOT clipped
+    (the reference doesn't clip either — Normalize consumes it directly)."""
 
     def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
                  saturation_range=(0.5, 1.5), hue_delta=18):
@@ -175,27 +230,49 @@ class PhotoMetricDistortion:
         self.saturation_range = saturation_range
         self.hue_delta = hue_delta
 
+    @staticmethod
+    def _to_hsv(img, order):
+        if _HAS_CV2:
+            code = cv2.COLOR_BGR2HSV if order == "bgr" else cv2.COLOR_RGB2HSV
+            return cv2.cvtColor(img, code)
+        hsv = np.asarray(Image.fromarray(
+            np.clip(img, 0, 255).astype(np.uint8)).convert("HSV"), np.float32)
+        hsv[..., 0] *= 360.0 / 255.0  # PIL hue byte -> degrees
+        return hsv
+
+    @staticmethod
+    def _from_hsv(hsv, order):
+        if _HAS_CV2:
+            code = cv2.COLOR_HSV2BGR if order == "bgr" else cv2.COLOR_HSV2RGB
+            return cv2.cvtColor(hsv, code)
+        hsv = hsv.copy()
+        hsv[..., 0] *= 255.0 / 360.0
+        return np.asarray(Image.fromarray(
+            np.clip(hsv, 0, 255).astype(np.uint8), "HSV").convert("RGB"),
+            np.float32)
+
     def __call__(self, results: dict) -> dict:
         img = results["img"].astype(np.float32)
+        order = results.get("channel_order", "bgr")
         if random.random() < 0.5:
-            img += random.uniform(-self.brightness_delta, self.brightness_delta)
-        mode = random.random() < 0.5
+            img = img + random.uniform(-self.brightness_delta,
+                                       self.brightness_delta)
+        mode = random.random() < 0.5  # True: contrast first, False: last
         if mode and random.random() < 0.5:
-            img *= random.uniform(*self.contrast_range)
-        # saturation/hue in HSV
+            img = img * random.uniform(*self.contrast_range)
+        hsv = self._to_hsv(img, order)
         if random.random() < 0.5:
-            hsv = np.asarray(Image.fromarray(
-                np.clip(img, 0, 255).astype(np.uint8)).convert("HSV"),
-                np.float32)
             hsv[..., 1] *= random.uniform(*self.saturation_range)
+        if random.random() < 0.5:
             hsv[..., 0] += random.uniform(-self.hue_delta, self.hue_delta)
-            hsv[..., 0] %= 256
-            img = np.asarray(Image.fromarray(
-                np.clip(hsv, 0, 255).astype(np.uint8), "HSV").convert("RGB"),
-                np.float32)
+            hsv[..., 0][hsv[..., 0] > 360] -= 360
+            hsv[..., 0][hsv[..., 0] < 0] += 360
+        img = self._from_hsv(hsv, order)
         if not mode and random.random() < 0.5:
-            img *= random.uniform(*self.contrast_range)
-        results["img"] = np.clip(img, 0, 255)
+            img = img * random.uniform(*self.contrast_range)
+        if random.random() < 0.5:
+            img = img[..., np.random.permutation(3)]
+        results["img"] = img
         return results
 
 
@@ -204,20 +281,25 @@ class Expand:
     """Random canvas expansion (SSD augmentation)."""
 
     def __init__(self, mean=(0, 0, 0), to_rgb=True, ratio_range=(1, 4)):
-        self.mean = mean
+        # mean arrives in RGB order (img_norm_cfg) but fills the raw image;
+        # mirror the reference: reverse it for BGR images when to_rgb=True.
+        self.mean = tuple(mean[::-1]) if to_rgb else tuple(mean)
+        self.mean_rgb = tuple(mean)
         self.ratio_range = ratio_range
 
     def __call__(self, results: dict) -> dict:
         if random.random() < 0.5:
             return results
         img = results["img"]
+        fill = (self.mean_rgb
+                if results.get("channel_order", "bgr") == "rgb" else self.mean)
         h, w, c = img.shape
         ratio = random.uniform(*self.ratio_range)
         eh, ew = int(h * ratio), int(w * ratio)
         top = random.randint(0, eh - h)
         left = random.randint(0, ew - w)
         canvas = np.empty((eh, ew, c), img.dtype)
-        canvas[...] = self.mean
+        canvas[...] = fill
         canvas[top:top + h, left:left + w] = img
         results["img"] = canvas
         results["img_shape"] = (eh, ew)
