@@ -175,6 +175,8 @@ def make_train_step(detector, tx: optax.GradientTransformation,
             if "gt_bboxes_ignore" in batch:  # crowd/ignore regions
                 kwargs = dict(gt_bboxes_ignore=batch["gt_bboxes_ignore"],
                               gt_ignore_valid=batch["gt_ignore_valid"])
+            if "gt_semantic_seg" in batch:  # HTC semantic branch
+                kwargs["gt_semantic_seg"] = batch["gt_semantic_seg"]
             losses = detector.apply({"params": params}, *args, **kwargs,
                                     method=detector.forward_train,
                                     rngs={"sampler": jax.random.fold_in(
@@ -308,7 +310,7 @@ class Runner:
     def _to_device(self, batch):
         keep = ("img", "gt_bboxes", "gt_labels", "gt_valid", "img_shape",
                 "pad_shape", "gt_masks", "gt_bboxes_ignore",
-                "gt_ignore_valid")
+                "gt_ignore_valid", "gt_semantic_seg")
         batch = {k: batch[k] for k in keep if k in batch}
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
@@ -360,9 +362,13 @@ def train_detector(detector, dataset, cfg, work_dir: str,
                  jnp.asarray(sample["pad_shape"][:1])]
     if "gt_masks" in sample:
         init_args.append(jnp.asarray(sample["gt_masks"][:1]))
+    init_kwargs = {}
+    if "gt_semantic_seg" in sample:
+        init_kwargs["gt_semantic_seg"] = jnp.asarray(
+            sample["gt_semantic_seg"][:1])
     variables = detector.init(
         {"params": rng, "sampler": jax.random.PRNGKey(seed + 1)},
-        *init_args, method=detector.forward_train)
+        *init_args, method=detector.forward_train, **init_kwargs)
     load_from = load_from or cfg.get("load_from")
     if load_from:
         # weights only (ref: cfg.load_from vs resume_from): partial trees

@@ -29,10 +29,12 @@ class CustomDataset:
     CLASSES: Optional[tuple] = None
 
     def __init__(self, ann_file: str, pipeline, img_prefix: str = "",
-                 test_mode: bool = False, filter_empty_gt: bool = True,
+                 seg_prefix: str = "", test_mode: bool = False,
+                 filter_empty_gt: bool = True,
                  min_size: int = 32, classes=None, **kwargs):
         self.ann_file = ann_file
         self.img_prefix = img_prefix
+        self.seg_prefix = seg_prefix
         self.test_mode = test_mode
         self.filter_empty_gt = filter_empty_gt
         if classes is not None:
@@ -83,7 +85,8 @@ class CustomDataset:
     def prepare_train_img(self, idx: int):
         results = dict(img_info=self.img_infos[idx],
                        ann_info=self.get_ann_info(idx),
-                       img_prefix=self.img_prefix, idx=idx)
+                       img_prefix=self.img_prefix,
+                       seg_prefix=self.seg_prefix, idx=idx)
         return self.pipeline(results)
 
     def prepare_test_img(self, idx: int):

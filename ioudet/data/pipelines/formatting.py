@@ -55,6 +55,9 @@ class DefaultFormatBundle:
             gt_masks = np.zeros((self.max_gt, s, s), np.uint8)
             gt_masks[:n] = m[:n]
             results["gt_masks"] = gt_masks
+        if "gt_semantic_seg" in results:  # already canvas-shaped (Pad)
+            results["gt_semantic_seg"] = np.ascontiguousarray(
+                results["gt_semantic_seg"], np.int32)
         results["img"] = np.ascontiguousarray(results["img"], np.float32)
         return results
 

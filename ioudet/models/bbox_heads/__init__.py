@@ -1,5 +1,6 @@
 from .bbox_head import (BBoxHead, ConvFCBBoxHead, SharedFCBBoxHead,
                         bbox_target_single)
+from .double_bbox_head import DoubleConvFCBBoxHead
 
 __all__ = ["BBoxHead", "ConvFCBBoxHead", "SharedFCBBoxHead",
-           "bbox_target_single"]
+           "DoubleConvFCBBoxHead", "bbox_target_single"]

@@ -26,6 +26,8 @@ class BBoxHead(nn.Module):
     reg_class_agnostic: bool = False
     target_means: Tuple[float, ...] = (0., 0., 0., 0.)
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    cls_loss_weight: float = 1.0   # Double-Head trains with 2.0/2.0
+    bbox_loss_weight: float = 1.0
     dtype: Any = jnp.float32
 
     def trunk(self, x):
@@ -60,7 +62,8 @@ class BBoxHead(nn.Module):
         num_pos = jnp.maximum(jnp.sum(bbox_weights[:, 0] > 0), 1.0)
         loss_bbox = smooth_l1_loss(bbox_pred, bbox_targets,
                                    weight=bbox_weights, avg_factor=num_pos)
-        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+        return dict(loss_cls=loss_cls * self.cls_loss_weight,
+                    loss_bbox=loss_bbox * self.bbox_loss_weight)
 
 
 @HEADS.register_module

@@ -82,14 +82,21 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                                            for h in hc)
             else:
                 parts["bbox_head"] = build_head(_with_dtype(hc))
-        if cfg.get("mask_roi_extractor") is not None:
-            parts["mask_roi_extractor"] = build_roi_extractor(
-                cfg.pop("mask_roi_extractor"))
+        for ext_key in ("mask_roi_extractor", "grid_roi_extractor",
+                        "semantic_roi_extractor"):
+            if cfg.get(ext_key) is not None:
+                parts[ext_key] = build_roi_extractor(cfg.pop(ext_key))
         if cfg.get("mask_head") is not None:
-            parts["mask_head"] = build_head(_with_dtype(cfg.pop("mask_head")))
-        if cfg.get("mask_iou_head") is not None:
-            parts["mask_iou_head"] = build_head(
-                _with_dtype(cfg.pop("mask_iou_head")))
+            mh = cfg.pop("mask_head")
+            if isinstance(mh, (list, tuple)):  # HTC: one mask head per stage
+                parts["mask_head"] = tuple(build_head(_with_dtype(h))
+                                           for h in mh)
+            else:
+                parts["mask_head"] = build_head(_with_dtype(mh))
+        for head_key in ("mask_iou_head", "grid_head", "semantic_head",
+                         "shared_head"):
+            if cfg.get(head_key) is not None:
+                parts[head_key] = build_head(_with_dtype(cfg.pop(head_key)))
     det_cls = DETECTORS.get(det_type)
     if det_cls is None:
         raise KeyError(f"{det_type} is not a registered detector")

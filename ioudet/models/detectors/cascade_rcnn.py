@@ -23,7 +23,7 @@ from ...core.post_processing import multiclass_nms
 from ..bbox_heads.bbox_head import bbox_target_single
 from ..heads.anchor_head import clip_boxes
 from ..registry import DETECTORS
-from .two_stage import TwoStageDetector
+from .two_stage import TwoStageDetector, sample_rois_batch
 
 
 @DETECTORS.register_module
@@ -94,7 +94,6 @@ class CascadeRCNN(nn.Module):
             rng = self.make_rng("sampler") if self.has_rng("sampler") else \
                 jax.random.PRNGKey(0)
         B = img.shape[0]
-        G = gt_bboxes.shape[1]
         boxes = props[..., :4]
         box_valid = props[..., 4] > 0
 
@@ -104,32 +103,10 @@ class CascadeRCNN(nn.Module):
             assigner = MaxIoUAssigner(pos_iou_thr=thr, neg_iou_thr=thr,
                                       min_pos_iou=thr)
             rng, srng = jax.random.split(rng)
-            keys = jax.random.split(srng, B)
-
-            def sample_one(key, bx, bv, gb, gv, gl):
-                all_boxes = jnp.concatenate([bx, gb], axis=0)
-                all_valid = jnp.concatenate([bv, gv], axis=0)
-                res = assigner.assign(all_boxes, gb, gv, all_valid, gl)
-                pos = res.gt_inds > 0
-                neg = res.gt_inds == 0
-                k1, k2 = jax.random.split(key)
-                noise = jax.random.uniform(k1, pos.shape)
-                max_pos = int(num_samples * pos_fraction)
-                pr = jnp.argsort(jnp.argsort(jnp.where(pos, noise, -1.0))[::-1])
-                spos = pos & (pr < max_pos)
-                nn_ = jax.random.uniform(k2, neg.shape)
-                nr = jnp.argsort(jnp.argsort(jnp.where(neg, nn_, -1.0))[::-1])
-                sneg = neg & (nr < num_samples - jnp.sum(spos))
-                sel = spos | sneg
-                prio = sel.astype(jnp.float32) * 10.0 + noise
-                _, idx = jax.lax.top_k(prio, num_samples)
-                safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
-                return (all_boxes[idx], spos[idx], sel[idx], gb[safe_gt],
-                        jnp.where(spos[idx], gl[safe_gt], 0))
-
-            sel_boxes, sel_pos, sel_valid, matched_gt, labels = jax.vmap(
-                sample_one)(keys, boxes, box_valid, gt_bboxes, gt_valid,
-                            gt_labels)
+            sel_boxes, sel_pos, sel_valid, matched_gt, labels, _ = \
+                sample_rois_batch(srng, boxes, box_valid, gt_bboxes,
+                                  gt_valid, gt_labels, assigner,
+                                  num_samples, pos_fraction)
             rois = TwoStageDetector._to_rois(sel_boxes)
             roi_feats = self.bbox_roi_extractor(feats[:4], rois)
             cls_score, bbox_pred = head(roi_feats, train=True)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ...core.bbox import MaxIoUAssigner
 from ...core.mask import mask_target
 from ..registry import DETECTORS
-from .two_stage import TwoStageDetector
+from .two_stage import TwoStageDetector, sample_rois_batch
 
 
 @DETECTORS.register_module
@@ -63,36 +63,10 @@ class MaskRCNN(TwoStageDetector):
         if rng is None:
             rng = self.make_rng("sampler") if self.has_rng("sampler") else \
                 jax.random.PRNGKey(0)
-        B = img.shape[0]
-        G = gt_bboxes.shape[1]
-
-        def sample_one(key, props, gb, gv, gl):
-            boxes = jnp.concatenate([props[:, :4], gb], axis=0)
-            prop_valid = jnp.concatenate([props[:, 4] > 0, gv], axis=0)
-            res = assigner.assign(boxes, gb, gv, prop_valid, gl)
-            pos = res.gt_inds > 0
-            neg = res.gt_inds == 0
-            k1, k2 = jax.random.split(key)
-            noise = jax.random.uniform(k1, pos.shape)
-            max_pos = int(num_samples * pos_fraction)
-            pos_rank = jnp.argsort(jnp.argsort(
-                jnp.where(pos, noise, -1.0))[::-1])
-            sampled_pos = pos & (pos_rank < max_pos)
-            n_pos = jnp.sum(sampled_pos)
-            neg_noise = jax.random.uniform(k2, neg.shape)
-            neg_rank = jnp.argsort(jnp.argsort(
-                jnp.where(neg, neg_noise, -1.0))[::-1])
-            sampled_neg = neg & (neg_rank < num_samples - n_pos)
-            sel = sampled_pos | sampled_neg
-            prio = sel.astype(jnp.float32) * 10.0 + noise
-            _, idx = jax.lax.top_k(prio, num_samples)
-            safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
-            return (boxes[idx], sampled_pos[idx], sel[idx], gb[safe_gt],
-                    jnp.where(sampled_pos[idx], gl[safe_gt], 0), safe_gt)
-
-        keys = jax.random.split(rng, B)
-        sel_boxes, sel_pos, sel_valid, matched_gt, labels, gt_idx = jax.vmap(
-            sample_one)(keys, dets, gt_bboxes, gt_valid, gt_labels)
+        sel_boxes, sel_pos, sel_valid, matched_gt, labels, gt_idx = \
+            sample_rois_batch(rng, dets[..., :4], dets[..., 4] > 0,
+                              gt_bboxes, gt_valid, gt_labels, assigner,
+                              num_samples, pos_fraction)
 
         rois = self._to_rois(sel_boxes)
         roi_feats = self.bbox_roi_extractor(feats[:4], rois)

@@ -30,6 +30,56 @@ from ..registry import DETECTORS
 from ..heads.anchor_head import clip_boxes
 
 
+def sample_rois_batch(rng, proposals, prop_valid, gt_bboxes, gt_valid,
+                      gt_labels, assigner, num_samples, pos_fraction,
+                      add_gt: bool = True):
+    """Fixed-shape R-CNN proposal sampling, vmapped over the batch (ref:
+    mmdet/core/bbox/samplers/random_sampler.py via assign_and_sample).
+
+    The reference's randperm sampling becomes rank-based fixed-k selection:
+    per-proposal random priorities, positives capped by rank at
+    num*pos_fraction, negatives fill the remainder, one top-k gather — the
+    same sampling distribution with static shapes (no nonzero).
+
+    Returns per-image (num_samples,)-shaped arrays:
+      sel_boxes (B,N,4), sel_pos (B,N) bool, sel_valid (B,N) bool,
+      matched_gt (B,N,4), labels (B,N) int (0 for negatives), gt_idx (B,N).
+    """
+    B = proposals.shape[0]
+    G = gt_bboxes.shape[1]
+
+    def sample_one(key, props, pv, gb, gv, gl):
+        if add_gt:
+            boxes = jnp.concatenate([props, gb], axis=0)
+            valid = jnp.concatenate([pv, gv], axis=0)
+        else:
+            boxes, valid = props, pv
+        res = assigner.assign(boxes, gb, gv, valid, gl)
+        pos = res.gt_inds > 0
+        neg = res.gt_inds == 0
+        k1, k2 = jax.random.split(key)
+        noise = jax.random.uniform(k1, pos.shape)
+        max_pos = int(num_samples * pos_fraction)
+        pos_rank = jnp.argsort(jnp.argsort(
+            jnp.where(pos, noise, -1.0))[::-1])
+        sampled_pos = pos & (pos_rank < max_pos)
+        n_pos = jnp.sum(sampled_pos)
+        neg_noise = jax.random.uniform(k2, neg.shape)
+        neg_rank = jnp.argsort(jnp.argsort(
+            jnp.where(neg, neg_noise, -1.0))[::-1])
+        sampled_neg = neg & (neg_rank < num_samples - n_pos)
+        sel = sampled_pos | sampled_neg
+        prio = sel.astype(jnp.float32) * 10.0 + noise
+        _, idx = jax.lax.top_k(prio, num_samples)
+        safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
+        return (boxes[idx], sampled_pos[idx], sel[idx], gb[safe_gt],
+                jnp.where(sampled_pos[idx], gl[safe_gt], 0), safe_gt)
+
+    keys = jax.random.split(rng, B)
+    return jax.vmap(sample_one)(keys, proposals, prop_valid, gt_bboxes,
+                                gt_valid, gt_labels)
+
+
 @DETECTORS.register_module
 class TwoStageDetector(nn.Module):
     backbone: nn.Module
@@ -90,42 +140,10 @@ class TwoStageDetector(nn.Module):
             rng = self.make_rng("sampler") if self.has_rng("sampler") else \
                 jax.random.PRNGKey(0)
 
-        B = img.shape[0]
-        G = gt_bboxes.shape[1]
-
-        def sample_one(key, props, gb, gv, gl):
-            boxes = jnp.concatenate([props[:, :4], gb], axis=0)  # add gt
-            prop_valid = jnp.concatenate(
-                [props[:, 4] > 0, gv], axis=0)
-            res = assigner.assign(boxes, gb, gv, prop_valid, gl)
-            pos = res.gt_inds > 0
-            neg = res.gt_inds == 0
-            k1, k2 = jax.random.split(key)
-            noise = jax.random.uniform(k1, pos.shape)
-            max_pos = int(num_samples * pos_fraction)
-            pos_rank = jnp.argsort(jnp.argsort(
-                jnp.where(pos, noise, -1.0))[::-1])
-            sampled_pos = pos & (pos_rank < max_pos)
-            n_pos = jnp.sum(sampled_pos)
-            neg_noise = jax.random.uniform(k2, neg.shape)
-            neg_rank = jnp.argsort(jnp.argsort(
-                jnp.where(neg, neg_noise, -1.0))[::-1])
-            sampled_neg = neg & (neg_rank < num_samples - n_pos)
-            sel = sampled_pos | sampled_neg
-            # gather a fixed num_samples set, selected first
-            prio = sel.astype(jnp.float32) * 10.0 + noise
-            _, idx = jax.lax.top_k(prio, num_samples)
-            sel_boxes = boxes[idx]
-            sel_pos = sampled_pos[idx]
-            sel_valid = sel[idx]
-            safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
-            matched_gt = gb[safe_gt]
-            labels = jnp.where(sel_pos, gl[safe_gt], 0)
-            return sel_boxes, sel_pos, sel_valid, matched_gt, labels
-
-        keys = jax.random.split(rng, B)
-        sel_boxes, sel_pos, sel_valid, matched_gt, labels = jax.vmap(
-            sample_one)(keys, dets, gt_bboxes, gt_valid, gt_labels)
+        sel_boxes, sel_pos, sel_valid, matched_gt, labels, _ = \
+            sample_rois_batch(rng, dets[..., :4], dets[..., 4] > 0,
+                              gt_bboxes, gt_valid, gt_labels, assigner,
+                              num_samples, pos_fraction)
 
         rois = self._to_rois(sel_boxes)  # (B*N, 5)
         roi_feats = self.bbox_roi_extractor(feats[:4], rois)
@@ -214,6 +232,13 @@ class TwoStageDetector(nn.Module):
 @DETECTORS.register_module
 class FasterRCNN(TwoStageDetector):
     """ref: mmdet/models/detectors/faster_rcnn.py — registration shim."""
+
+
+@DETECTORS.register_module
+class DoubleHeadRCNN(TwoStageDetector):
+    """Double-Head R-CNN (ref: mmdet/models/detectors/double_head_rcnn.py).
+    The conv-reg/fc-cls split lives entirely inside DoubleConvFCBBoxHead
+    (same (cls, reg) contract), so the two-stage pipeline is unchanged."""
 
 
 @DETECTORS.register_module

@@ -48,3 +48,32 @@ class FCNMaskHead(nn.Module):
         bce = binary_cross_entropy_with_logits(per_cls, mask_targets)
         per_roi = bce.mean(axis=(1, 2)) * pos_mask
         return jnp.sum(per_roi) / jnp.maximum(jnp.sum(pos_mask), 1.0)
+
+
+@HEADS.register_module
+class HTCMaskHead(FCNMaskHead):
+    """FCN mask head with HTC's mask information flow (ref capability:
+    mmdet/models/mask_heads/htc_mask_head.py): an optional ``res_feat``
+    from the previous stage's mask head is 1x1-conv'd and summed into the
+    input; the pre-upsample conv feature is returned alongside the logits
+    so the next stage can consume it."""
+
+    @nn.compact
+    def __call__(self, x, res_feat=None, train: bool = False,
+                 return_feat: bool = False):
+        if res_feat is not None:
+            x = x + nn.Conv(self.conv_out_channels, (1, 1),
+                            kernel_init=_CONV_INIT, dtype=self.dtype,
+                            name="conv_res")(res_feat)
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.conv_out_channels, (3, 3), padding=1,
+                                kernel_init=_CONV_INIT, dtype=self.dtype,
+                                name=f"conv{i}")(x))
+        feat = x
+        x = nn.relu(nn.ConvTranspose(self.conv_out_channels, (2, 2),
+                                     strides=(2, 2), dtype=self.dtype,
+                                     name="upsample")(x))
+        logits = nn.Conv(self.num_classes - 1, (1, 1),
+                         kernel_init=_CONV_INIT, dtype=self.dtype,
+                         name="conv_logits")(x)
+        return (logits, feat) if return_feat else logits

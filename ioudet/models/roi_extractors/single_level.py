@@ -30,15 +30,31 @@ class SingleRoIExtractor(nn.Module):
         lvl = jnp.floor(jnp.log2(scale / self.finest_scale + 1e-6))
         return jnp.clip(lvl, 0, len(self.featmap_strides) - 1).astype(jnp.int32)
 
+    @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], rois: jnp.ndarray):
         cfg = dict(self.roi_layer or {})
+        layer_type = cfg.get("type", "RoIAlign")
         out_size = cfg.get("out_size", 7)
         sample_num = cfg.get("sample_num", 2)
         lvls = self.map_roi_levels(rois)
         out = None
         for i, stride in enumerate(self.featmap_strides):
-            f = roi_align(feats[i], rois, pooled_size=out_size,
-                          spatial_scale=1.0 / stride, sample_num=sample_num)
+            if layer_type in ("DeformRoIPoolingPack",
+                              "ModulatedDeformRoIPoolingPack"):
+                from ...ops.deform_pool import (
+                    DeformRoIPoolingPack, ModulatedDeformRoIPoolingPack)
+                pack_cls = (ModulatedDeformRoIPoolingPack
+                            if layer_type.startswith("Modulated")
+                            else DeformRoIPoolingPack)
+                f = pack_cls(out_size=out_size,
+                             spatial_scale=1.0 / stride,
+                             sample_num=sample_num,
+                             trans_std=cfg.get("trans_std", 0.1),
+                             name=f"deform_pool{i}")(feats[i], rois)
+            else:
+                f = roi_align(feats[i], rois, pooled_size=out_size,
+                              spatial_scale=1.0 / stride,
+                              sample_num=sample_num)
             m = (lvls == i).astype(f.dtype)[:, None, None, None]
             out = f * m if out is None else out + f * m
         return out  # (R, out_size, out_size, C)
