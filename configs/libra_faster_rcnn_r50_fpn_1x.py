@@ -1,0 +1,23 @@
+# Libra R-CNN R-50-FPN 1x (ref: configs/libra_rcnn/
+# libra_faster_rcnn_r50_fpn_1x.py): BFP feature refinement + IoU-balanced
+# negative sampling + Balanced L1 regression.
+_base_ = "./faster_rcnn_r50_fpn_1x.py"
+model = dict(
+    neck=[
+        dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+             out_channels=256, start_level=0, num_outs=5),
+        dict(type="BFP", in_channels=256, num_levels=5, refine_level=2,
+             refine_type="non_local"),
+    ],
+    rpn_head=dict(
+        loss_bbox=dict(type="SmoothL1Loss", beta=1.0 / 9.0, loss_weight=1.0)),
+    bbox_head=dict(
+        loss_bbox=dict(type="BalancedL1Loss", alpha=0.5, gamma=1.5,
+                       beta=1.0, loss_weight=1.0)),
+)
+train_cfg = dict(
+    rcnn=dict(sampler=dict(type="IoUBalancedNegSampler", num=512,
+                           pos_fraction=0.25, floor_thr=-1, floor_fraction=0,
+                           num_bins=3)),
+)
+work_dir = "./work_dirs/libra_faster_rcnn_r50_fpn_1x"

@@ -1,0 +1,4 @@
+# Mask R-CNN R-101-FPN 1x (ref: configs/mask_rcnn_r101_fpn_1x.py).
+_base_ = "./mask_rcnn_r50_fpn_1x.py"
+model = dict(backbone=dict(depth=101))
+work_dir = "./work_dirs/mask_rcnn_r101_fpn_1x"

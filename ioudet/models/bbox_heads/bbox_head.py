@@ -28,6 +28,7 @@ class BBoxHead(nn.Module):
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     cls_loss_weight: float = 1.0   # Double-Head trains with 2.0/2.0
     bbox_loss_weight: float = 1.0
+    loss_bbox: Any = None          # config dict; default SmoothL1 beta=1
     dtype: Any = jnp.float32
 
     def trunk(self, x):
@@ -48,8 +49,8 @@ class BBoxHead(nn.Module):
 
     def loss(self, cls_score, bbox_pred, labels, label_weights, bbox_targets,
              bbox_weights):
+        from ..builder import build_loss
         from ..losses.cross_entropy_loss import cross_entropy
-        from ..losses.smooth_l1_loss import smooth_l1_loss
 
         avg = jnp.maximum(jnp.sum(label_weights), 1.0)
         loss_cls = cross_entropy(cls_score, labels, weight=label_weights,
@@ -60,8 +61,11 @@ class BBoxHead(nn.Module):
             bbox_pred = jnp.take_along_axis(
                 r, safe[:, None, None].repeat(4, -1), axis=1)[:, 0]
         num_pos = jnp.maximum(jnp.sum(bbox_weights[:, 0] > 0), 1.0)
-        loss_bbox = smooth_l1_loss(bbox_pred, bbox_targets,
-                                   weight=bbox_weights, avg_factor=num_pos)
+        # reg loss is configurable (Libra R-CNN uses BalancedL1Loss here)
+        reg_fn = build_loss(dict(self.loss_bbox or
+                                 dict(type="SmoothL1Loss", beta=1.0)))
+        loss_bbox = reg_fn(bbox_pred, bbox_targets,
+                           weight=bbox_weights, avg_factor=num_pos)
         return dict(loss_cls=loss_cls * self.cls_loss_weight,
                     loss_bbox=loss_bbox * self.bbox_loss_weight)
 

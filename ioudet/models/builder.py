@@ -64,10 +64,20 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
             c.setdefault("dtype", dtype)
         return c
 
+    # config-deleted components arrive as explicit None (e.g. an RPN-only
+    # model derived from a two-stage base) — drop them before dispatch
+    for k in [k for k, v in cfg.items() if v is None and k != "type"]:
+        cfg.pop(k)
+
     parts = dict(backbone=build_backbone(_with_dtype(cfg.pop("backbone"))))
     neck_cfg = cfg.pop("neck", None)
     if neck_cfg is not None:
-        parts["neck"] = build_neck(_with_dtype(neck_cfg))
+        if isinstance(neck_cfg, (list, tuple)):  # chained necks (FPN -> BFP)
+            from .necks import NeckSequence
+            parts["neck"] = NeckSequence(tuple(
+                build_neck(_with_dtype(n)) for n in neck_cfg))
+        else:
+            parts["neck"] = build_neck(_with_dtype(neck_cfg))
     if "bbox_head" in cfg and "rpn_head" not in cfg:
         parts["bbox_head"] = build_head(_with_dtype(cfg.pop("bbox_head")))
     if "rpn_head" in cfg:

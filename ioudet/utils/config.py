@@ -115,9 +115,16 @@ class Config:
 
 
 def _merge_dict(base: dict, new: dict) -> dict:
+    """Recursive override merge.  A child dict carrying ``_delete_=True``
+    REPLACES the inherited dict instead of merging into it (the standard
+    config convention for swapping a component type whose fields don't
+    overlap, e.g. ResNet -> HRNet)."""
     out = dict(base)
     for k, v in new.items():
-        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+        if isinstance(v, dict) and v.get("_delete_"):
+            v = {vk: vv for vk, vv in v.items() if vk != "_delete_"}
+            out[k] = v
+        elif k in out and isinstance(out[k], dict) and isinstance(v, dict):
             out[k] = _merge_dict(out[k], v)
         else:
             out[k] = v

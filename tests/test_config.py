@@ -20,7 +20,9 @@ def test_config_builds(cfg_path):
     assert "model" in cfg and "train_cfg" in cfg and "test_cfg" in cfg
     det = build_detector(dict(cfg.model), cfg.get("train_cfg"),
                          cfg.get("test_cfg"))
-    assert det.bbox_head is not None
+    # proposal-only models (RPN / GA-RPN) carry rpn_head instead of bbox_head
+    assert (getattr(det, "bbox_head", None) is not None or
+            getattr(det, "rpn_head", None) is not None)
     assert det.backbone is not None
     # data pipelines must also build
     from ioudet.data.pipelines.compose import Compose
