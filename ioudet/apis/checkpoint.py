@@ -187,6 +187,137 @@ def convert_torch_retina_head(state_dict, stacked_convs: int = 4) -> dict:
     return params
 
 
+def convert_torch_hrnet(state_dict) -> dict:
+    """Map an mmcv/mmdet HRNet state_dict to our flax HRNet tree (ref:
+    mmdet/models/backbones/hrnet.py param naming).
+
+    torch -> flax correspondence:
+      conv1/bn1, conv2/bn2 (stem)        -> stem{0,1} / stem_bn{0,1}
+      layer1.{j}.*                        -> layer1_{j}.* (Bottleneck)
+      transition{t}.{b}.(0|0.0).weight    -> stage{t+1}_trans{b}
+      transition{t}.{b}.(1|0.1).*         -> stage{t+1}_trans_bn{b}
+      stage{s}.{m}.branches.{b}.{j}.*     -> stage{s}_module{m}.branch{b}_block{j}.*
+      stage{s}.{m}.fuse_layers.{i}.{j}.0  -> ...fuse_{i}_{j} (+ fuse_bn, j>i)
+      stage{s}.{m}.fuse_layers.{i}.{j}.{k}.0 -> ...fuse_{i}_{j}_{k} (j<i)
+    """
+    import re
+
+    params: dict = {}
+
+    def put(path, leaf):
+        d = params
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = leaf
+
+    def bn(prefix, out):
+        put(out + ("scale",), _t2np(state_dict[prefix + ".weight"]))
+        put(out + ("bias",), _t2np(state_dict[prefix + ".bias"]))
+        put(out + ("mean",), _t2np(state_dict[prefix + ".running_mean"]))
+        put(out + ("var",), _t2np(state_dict[prefix + ".running_var"]))
+
+    put(("stem0", "kernel"), _conv_oihw_to_hwio(state_dict["conv1.weight"]))
+    bn("bn1", ("stem_bn0",))
+    put(("stem1", "kernel"), _conv_oihw_to_hwio(state_dict["conv2.weight"]))
+    bn("bn2", ("stem_bn1",))
+
+    block_pat = re.compile(r"layer1\.(\d+)\.(conv(\d)|bn(\d)|downsample)")
+    trans_pat = re.compile(r"transition(\d)\.(\d+)\.")
+    stage_pat = re.compile(r"stage(\d)\.(\d+)\.(branches|fuse_layers)\.")
+    done = set()
+    for k in state_dict:
+        m = block_pat.match(k)
+        if m:
+            j = m.group(1)
+            name = f"layer1_{j}"
+            base = f"layer1.{j}"
+            if (base, m.group(2)) in done:
+                continue
+            done.add((base, m.group(2)))
+            if m.group(2) == "downsample":
+                put((name, "downsample_conv", "kernel"),
+                    _conv_oihw_to_hwio(state_dict[base + ".downsample.0.weight"]))
+                bn(base + ".downsample.1", (name, "downsample_bn"))
+            elif m.group(3):  # convN
+                n = m.group(3)
+                put((name, f"conv{n}", "kernel"),
+                    _conv_oihw_to_hwio(state_dict[f"{base}.conv{n}.weight"]))
+            else:
+                n = m.group(4)
+                bn(f"{base}.bn{n}", (name, f"bn{n}"))
+            continue
+        m = trans_pat.match(k)
+        if m:
+            t, b = m.group(1), m.group(2)
+            base = f"transition{t}.{b}"
+            if base in done:
+                continue
+            done.add(base)
+            stage = f"stage{int(t) + 1}"
+            # existing-branch: Sequential(conv, bn); new-branch: nested
+            cw = (base + ".0.weight" if base + ".0.weight" in state_dict
+                  else base + ".0.0.weight")
+            bnp = (base + ".1" if base + ".1.weight" in state_dict
+                   else base + ".0.1")
+            put((f"{stage}_trans{b}", "kernel"),
+                _conv_oihw_to_hwio(state_dict[cw]))
+            bn(bnp, (f"{stage}_trans_bn{b}",))
+            continue
+        m = stage_pat.match(k)
+        if m:
+            s, mod, group = m.groups()
+            base = f"stage{s}.{mod}.{group}"
+            flax_mod = f"stage{s}_module{mod}"
+            if group == "branches":
+                pat = re.compile(re.escape(base) +
+                                 r"\.(\d+)\.(\d+)\.(conv|bn)(\d)")
+                mm = pat.match(k)
+                if not mm:
+                    continue
+                b, j, kind, n = mm.groups()
+                key = (base, b, j, kind, n)
+                if key in done:
+                    continue
+                done.add(key)
+                blk = (flax_mod, f"branch{b}_block{j}")
+                src = f"{base}.{b}.{j}"
+                if kind == "conv":
+                    put(blk + (f"conv{n}", "kernel"),
+                        _conv_oihw_to_hwio(state_dict[f"{src}.conv{n}.weight"]))
+                else:
+                    bn(f"{src}.bn{n}", blk + (f"bn{n}",))
+            else:  # fuse_layers
+                up = re.compile(re.escape(base) + r"\.(\d+)\.(\d+)\.(0|1)\.")
+                down = re.compile(re.escape(base) +
+                                  r"\.(\d+)\.(\d+)\.(\d+)\.(0|1)\.")
+                md = down.match(k)
+                if md and md.group(4) in "01" and k.count(".") >= 6:
+                    i, j, kk = md.group(1), md.group(2), md.group(3)
+                    if int(j) < int(i):  # genuine downsample chain
+                        key = (base, i, j, kk)
+                        if key in done:
+                            continue
+                        done.add(key)
+                        src = f"{base}.{i}.{j}.{kk}"
+                        put((flax_mod, f"fuse_{i}_{j}_{kk}", "kernel"),
+                            _conv_oihw_to_hwio(state_dict[src + ".0.weight"]))
+                        bn(src + ".1", (flax_mod, f"fuse_bn_{i}_{j}_{kk}"))
+                        continue
+                mu = up.match(k)
+                if mu:
+                    i, j = mu.group(1), mu.group(2)
+                    if int(j) > int(i):
+                        key = (base, i, j)
+                        if key in done:
+                            continue
+                        done.add(key)
+                        src = f"{base}.{i}.{j}"
+                        put((flax_mod, f"fuse_{i}_{j}", "kernel"),
+                            _conv_oihw_to_hwio(state_dict[src + ".0.weight"]))
+                        bn(src + ".1", (flax_mod, f"fuse_bn_{i}_{j}"))
+    return params
+
+
 def convert_torch_retinanet(state_dict, depth: int = 50,
                             num_laterals: int = 3,
                             stacked_convs: int = 4) -> dict:

@@ -99,12 +99,17 @@ class HRNet(nn.Module):
         # stage1: bottlenecks
         s1 = cfg["stage1"]
         for j in range(s1["num_blocks"][0]):
-            x = Bottleneck(planes=s1["num_channels"][0], downsample=j == 0,
+            planes = s1["num_channels"][0]
+            # mmcv creates the projection shortcut only on a channel change
+            # (stem is 64ch; w18/w32 stage1 uses planes*4 == 64 -> identity)
+            down = j == 0 and x.shape[-1] != planes * 4
+            x = Bottleneck(planes=planes, downsample=down,
                            norm_cfg=self.norm_cfg, dtype=self.dtype,
                            name=f"layer1_{j}")(x, train)
 
         xs = [x]
-        for si, stage in enumerate(["stage2", "stage3", "stage4"]):
+        stages = [s for s in ("stage2", "stage3", "stage4") if s in cfg]
+        for si, stage in enumerate(stages):
             sc = cfg[stage]
             nb = sc["num_branches"]
             # transition: create/adjust branches
