@@ -121,3 +121,41 @@ class MaxIoUAssigner:
             labels = jnp.where(hit_ignore, 0, result.labels)
             result = AssignResult(gt_inds, result.max_overlaps, labels)
         return result
+
+
+class ApproxMaxIoUAssigner(MaxIoUAssigner):
+    """Assign via the MAX IoU over each location's approximate anchors
+    (ref: mmdet/core/bbox/assigners/approx_max_iou_assigner.py): guided
+    anchoring places ``squares`` (one per cell) but judges pos/neg by the
+    best of the cell's ``approxs`` (e.g. the 9 RetinaNet anchors).
+
+    Standalone, registry-facing version of the logic embedded in
+    GuidedAnchorHead.loss; ``assign_approx`` takes (A, n_approx, 4) approxs
+    grouped per square and reduces IoU over the approx axis before the
+    standard max-IoU rules."""
+
+    def assign_approx(self, approxs: jnp.ndarray, squares: jnp.ndarray,
+                      gt_bboxes: jnp.ndarray, gt_valid: jnp.ndarray,
+                      square_valid: jnp.ndarray,
+                      gt_labels: Optional[jnp.ndarray] = None,
+                      gt_bboxes_ignore: Optional[jnp.ndarray] = None,
+                      gt_ignore_valid: Optional[jnp.ndarray] = None
+                      ) -> AssignResult:
+        A, n_approx = approxs.shape[:2]
+        flat = approxs.reshape(A * n_approx, 4)
+        overlaps = bbox_overlaps(gt_bboxes, flat)      # (G, A*n)
+        overlaps = overlaps.reshape(-1, A, n_approx).max(axis=-1)  # (G, A)
+        result = assign_max_iou(
+            overlaps, gt_valid, square_valid, gt_labels,
+            pos_iou_thr=self.pos_iou_thr, neg_iou_thr=self.neg_iou_thr,
+            min_pos_iou=self.min_pos_iou,
+            gt_max_assign_all=self.gt_max_assign_all)
+        if (self.ignore_iof_thr > 0 and gt_bboxes_ignore is not None
+                and gt_ignore_valid is not None):
+            iof = bbox_overlaps(squares, gt_bboxes_ignore, mode="iof")
+            iof = jnp.where(gt_ignore_valid[None, :], iof, 0.0)
+            hit = jnp.max(iof, axis=1) > self.ignore_iof_thr
+            result = AssignResult(jnp.where(hit, -1, result.gt_inds),
+                                  result.max_overlaps,
+                                  jnp.where(hit, 0, result.labels))
+        return result

@@ -122,3 +122,36 @@ class TestAssignFromOverlaps:
                              np.ones(3, bool), np.array([4, 9], np.int32))
         np.testing.assert_array_equal(np.asarray(res.gt_inds), [1, 2, -1])
         np.testing.assert_array_equal(np.asarray(res.labels), [4, 9, 0])
+
+
+class TestApproxMaxIoUAssigner:
+    """Standalone approx assigner (ref: approx_max_iou_assigner.py): the
+    square is judged by the BEST of its approx anchors."""
+
+    def test_best_approx_wins(self):
+        import jax.numpy as jnp
+        from ioudet.core.bbox import ApproxMaxIoUAssigner
+
+        gt = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+        # square itself far (IoU 0), but one of its approxs matches the gt
+        squares = jnp.asarray([[50.0, 50.0, 60.0, 60.0]])
+        approxs = jnp.asarray([[[50.0, 50.0, 60.0, 60.0],
+                                [0.0, 0.0, 10.0, 10.0]]])
+        a = ApproxMaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4)
+        res = a.assign_approx(approxs, squares, gt, jnp.asarray([True]),
+                              jnp.asarray([True]))
+        assert int(res.gt_inds[0]) == 1      # positive via the approx
+        assert float(res.max_overlaps[0]) == 1.0
+
+    def test_all_approx_low_is_negative(self):
+        import jax.numpy as jnp
+        from ioudet.core.bbox import ApproxMaxIoUAssigner
+
+        gt = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+        squares = jnp.asarray([[100.0, 100.0, 110.0, 110.0]])
+        approxs = squares[:, None, :].repeat(2, 1)
+        a = ApproxMaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                 min_pos_iou=0.5)
+        res = a.assign_approx(approxs, squares, gt, jnp.asarray([True]),
+                              jnp.asarray([True]))
+        assert int(res.gt_inds[0]) <= 0
