@@ -28,7 +28,8 @@ NEG_INF = jnp.float32(-1e10)
 
 
 @partial(jax.jit, static_argnames=("score_thr", "iou_thr", "max_per_img",
-                                   "pre_nms_total", "nms_type", "class_topk"))
+                                   "pre_nms_total", "nms_type", "class_topk",
+                                   "approx_topk"))
 def multiclass_nms(multi_bboxes: jnp.ndarray,
                    multi_scores: jnp.ndarray,
                    score_thr: float,
@@ -38,7 +39,8 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                    valid: Optional[jnp.ndarray] = None,
                    pre_nms_total: int = 2000,
                    nms_type: str = "nms",
-                   class_topk: Optional[int] = None
+                   class_topk: Optional[int] = None,
+                   approx_topk: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Args:
         multi_bboxes: (N, 4) class-agnostic or (N, C*4) per-class boxes.
@@ -75,7 +77,11 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
 
     if class_topk is not None and class_topk < num_classes:
         # per-anchor class pruning: small-k top_k over the class axis
-        cls_scores, cls_idx = jax.lax.top_k(scores, class_topk)  # (N, k)
+        if approx_topk:
+            cls_scores, cls_idx = jax.lax.approx_max_k(scores, class_topk)
+            cls_idx = cls_idx.astype(jnp.int32)
+        else:
+            cls_scores, cls_idx = jax.lax.top_k(scores, class_topk)  # (N, k)
         flat_scores = cls_scores.reshape(-1)                     # (N*k,)
         flat_labels = cls_idx.reshape(-1).astype(jnp.int32)
         gath = jnp.take_along_axis(boxes_pc, cls_idx[..., None], axis=1)
@@ -87,7 +93,12 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     ok = flat_scores > score_thr
 
     k = min(pre_nms_total, flat_scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(jnp.where(ok, flat_scores, 0.0), k)
+    gated = jnp.where(ok, flat_scores, 0.0)
+    if approx_topk and flat_scores.shape[0] > k:
+        top_scores, top_idx = jax.lax.approx_max_k(gated, k)
+        top_idx = top_idx.astype(jnp.int32)
+    else:
+        top_scores, top_idx = jax.lax.top_k(gated, k)
     top_boxes = flat_boxes[top_idx]
     top_labels = flat_labels[top_idx]
     top_valid = top_scores > score_thr

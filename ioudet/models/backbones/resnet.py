@@ -34,6 +34,39 @@ def _norm(norm_cfg, features, dtype, name):
     return build_norm(norm_cfg or {"type": "FrozenBN"}, features, dtype, name)
 
 
+class _StemS2DConv(nn.Module):
+    """7x7/s2 stem conv computed as space-to-depth(2) + 4x4/s1 conv.
+
+    Bit-identical taps: output(y,x) = sum_k W[k] I[2y+k-3].  Writing input
+    rows as u = 2v+p (p = parity), the receptive field spans v in [y-2,y+1]
+    — a 4-tap stride-1 conv over the s2d grid with padding (2,1) whose
+    kernel row (t, p) holds W[2t+p-1] (zero where k=-1 or 7).  The MXU sees
+    contraction 4*4*4C on a quarter-size grid instead of 7*7*C at double
+    resolution (the MLPerf-ResNet stem transform).  Measured neutral inside
+    the fully fused detector program on v5e (XLA already handles the 7x7
+    stem well there) but markedly faster as a standalone program; kept as
+    the canonical TPU stem form.  The stored param is the ORIGINAL
+    torch-layout (7,7,C,64) kernel, so converters/parity are unaffected.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        w = self.param("kernel", _KINIT, (7, 7, C, 64), jnp.float32)
+        w = w.astype(self.dtype)
+        j = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        j = j.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        w8 = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # row r = k+1
+        wr = w8.reshape(4, 2, 4, 2, C, 64)
+        wr = wr.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, 64)
+        return jax.lax.conv_general_dilated(
+            j.astype(self.dtype), wr, window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -157,6 +190,10 @@ class ResNet(nn.Module):
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dcn_modulated: bool = False
     stage_with_gcb: Tuple[bool, ...] = (False, False, False, False)
+    # MLPerf-style stem: run the 7x7/s2 conv as space-to-depth(2) + 4x4/s1.
+    # Bit-identical arithmetic (same taps, zero-padded to the 4x4 grid);
+    # see _StemS2DConv for the derivation and measured numbers.
+    stem_space_to_depth: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,8 +201,14 @@ class ResNet(nn.Module):
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = stage_blocks[: self.num_stages]
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, kernel_init=_KINIT, name="conv1")(x)
+        if self.stem_space_to_depth and x.shape[1] % 2 == 0 \
+                and x.shape[2] % 2 == 0:
+            # param tree stays conv1/kernel (7,7,C,64): converters unchanged
+            x = _StemS2DConv(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                        use_bias=False, dtype=self.dtype, kernel_init=_KINIT,
+                        name="conv1")(x)
         x = _norm(self.norm_cfg, 64, self.dtype, "bn1")(x)
         x = nn.relu(x)
         # torch maxpool(3, 2, pad=1): explicit -inf pad then VALID window

@@ -214,9 +214,18 @@ class AnchorHead(nn.Module):
         return scores_2d[idx], extra, boxes_2d[idx]
 
     def _decode_single(self, per_level_scores, per_level_boxes,
-                       per_level_factors, img_shape, nms_pre: int):
+                       per_level_factors, img_shape, nms_pre: int,
+                       approx_topk: bool = False):
         """One image: per-level sigmoid/softmax -> top-k nms_pre -> decode.
-        Returns (boxes (N, 4) in view space, scores (N, C))."""
+        Returns (boxes (N, 4) in view space, scores (N, C)).
+
+        ``approx_topk``: route candidate selection through the TPU's native
+        partial-reduction top-k (``lax.approx_max_k``, recall ~0.95 per op)
+        instead of the exact sort — the exact per-level top-k over ~157k
+        anchor logits is the single hottest op in the inference tail
+        (~20 ms/batch16 of a 94 ms program).  Missed candidates are
+        interchangeable low-rank ones; the final top-100 is essentially
+        unchanged (tests/test_approx_topk.py quantifies this)."""
         featmap_sizes = [(s.shape[0], s.shape[1]) for s in per_level_scores]
         gens = self.anchor_generators()
         level_anchors = [g.grid_anchors(fs, st) for g, fs, st in
@@ -239,7 +248,11 @@ class AnchorHead(nn.Module):
                     f = per_level_factors[lvl].reshape(-1)
                     proxy = proxy + jax.nn.log_sigmoid(f.astype(jnp.float32))
                 k = min(nms_pre, n)
-                _, idx = jax.lax.top_k(proxy, k)
+                if approx_topk and n > k:
+                    _, idx = jax.lax.approx_max_k(proxy, k)
+                    idx = idx.astype(jnp.int32)
+                else:
+                    _, idx = jax.lax.top_k(proxy, k)
                 probs = jax.nn.sigmoid(s2[idx])
                 if per_level_factors is not None:
                     f = per_level_factors[lvl].reshape(-1)
@@ -264,13 +277,15 @@ class AnchorHead(nn.Module):
         """Batched pre-NMS candidates: (B, N, 4), (B, N, C) — the TTA merge
         entry point (boxes stay in view space)."""
         nms_pre = test_cfg.get("nms_pre", 1000)
+        approx_topk = bool(test_cfg.get("approx_topk", False))
         n_lvl = len(cls_scores)
 
         def single(img_shape, *flat):
             factors = list(flat[2 * n_lvl:]) or None
             return self._decode_single(list(flat[:n_lvl]),
                                        list(flat[n_lvl:2 * n_lvl]),
-                                       factors, img_shape, nms_pre)
+                                       factors, img_shape, nms_pre,
+                                       approx_topk=approx_topk)
 
         args = list(cls_scores) + list(bbox_preds) + (list(score_factors)
                                                       if score_factors else [])
@@ -300,6 +315,7 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
     nms_type = test_cfg.get("nms", {}).get("type", "nms")
     pre_nms_total = test_cfg.get("pre_nms_total", 2000)
     class_topk = test_cfg.get("class_topk", None)
+    approx_topk = bool(test_cfg.get("approx_topk", False))
 
     def single(b, s, sf):
         if rescale:
@@ -307,7 +323,8 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
         return multiclass_nms(b, s, score_thr=score_thr, iou_thr=iou_thr,
                               max_per_img=max_per_img, nms_type=nms_type,
                               pre_nms_total=pre_nms_total,
-                              class_topk=class_topk)
+                              class_topk=class_topk,
+                              approx_topk=approx_topk)
 
     return jax.vmap(single)(boxes, scores, scale_factors)
 
