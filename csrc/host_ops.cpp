@@ -154,4 +154,45 @@ void coco_match_cpu(const float* ious, int D, int G, const uint8_t* gt_ignore,
   }
 }
 
+// Intersection area of two column-major RLEs on the same grid, WITHOUT
+// decoding to pixels (ref capability: pycocotools rleArea/rleIou run-walk).
+// counts start with a zero-run; value of run i is i % 2.
+int64_t rle_intersect_area(const int64_t* a, int na, const int64_t* b,
+                           int nb) {
+  int64_t inter = 0;
+  int ia = 0, ib = 0;
+  int64_t ra = na > 0 ? a[0] : 0;  // remaining length of current run
+  int64_t rb = nb > 0 ? b[0] : 0;
+  while (ia < na && ib < nb) {
+    const int64_t step = std::min(ra, rb);
+    if ((ia % 2) && (ib % 2)) inter += step;
+    ra -= step;
+    rb -= step;
+    while (ia < na && ra == 0) ra = (++ia < na) ? a[ia] : 0;
+    while (ib < nb && rb == 0) rb = (++ib < nb) ? b[ib] : 0;
+  }
+  return inter;
+}
+
+// (D, G) mask IoU straight from concatenated run-count buffers.
+// d_counts/g_counts: concatenated int64 runs; *_offs: (n+1,) prefix offsets;
+// d_areas/g_areas: precomputed foreground areas; iscrowd: (G,) -> IoF.
+void rle_iou_matrix(const int64_t* d_counts, const int64_t* d_offs, int D,
+                    const int64_t* g_counts, const int64_t* g_offs, int G,
+                    const int64_t* d_areas, const int64_t* g_areas,
+                    const uint8_t* iscrowd, double* out) {
+  for (int i = 0; i < D; ++i) {
+    const int64_t* dc = d_counts + d_offs[i];
+    const int nd = (int)(d_offs[i + 1] - d_offs[i]);
+    for (int j = 0; j < G; ++j) {
+      const int64_t inter = rle_intersect_area(
+          dc, nd, g_counts + g_offs[j], (int)(g_offs[j + 1] - g_offs[j]));
+      const double denom =
+          iscrowd[j] ? (double)d_areas[i]
+                     : (double)(d_areas[i] + g_areas[j] - inter);
+      out[(size_t)i * G + j] = inter / std::max(denom, 1e-10);
+    }
+  }
+}
+
 }  // extern "C"

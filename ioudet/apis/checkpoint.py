@@ -318,6 +318,43 @@ def convert_torch_hrnet(state_dict) -> dict:
     return params
 
 
+_VGG16_FEATURE_IDX = {  # torch Sequential index -> flax conv name
+    0: "conv1_1", 2: "conv1_2", 5: "conv2_1", 7: "conv2_2",
+    10: "conv3_1", 12: "conv3_2", 14: "conv3_3",
+    17: "conv4_1", 19: "conv4_2", 21: "conv4_3",
+    24: "conv5_1", 26: "conv5_2", 28: "conv5_3",
+    31: "fc6", 33: "fc7",
+}
+
+
+def convert_torch_ssd_vgg(state_dict) -> dict:
+    """Map an mmdet SSDVGG state_dict (torchvision vgg16 ``features.N``
+    Sequential indices + ``extra.N`` tower + ``l2_norm``) to our flax tree
+    (ref: mmdet/models/backbones/ssd_vgg.py layer layout)."""
+    params: dict = {}
+    for k in state_dict:
+        if k.startswith("features."):
+            idx = int(k.split(".")[1])
+            name = _VGG16_FEATURE_IDX.get(idx)
+            if name is None:
+                continue
+            entry = params.setdefault(name, {})
+            if k.endswith(".weight"):
+                entry["kernel"] = _conv_oihw_to_hwio(state_dict[k])
+            else:
+                entry["bias"] = _t2np(state_dict[k])
+        elif k.startswith("extra."):
+            idx = int(k.split(".")[1])
+            entry = params.setdefault(f"extra{idx}", {})
+            if k.endswith(".weight"):
+                entry["kernel"] = _conv_oihw_to_hwio(state_dict[k])
+            else:
+                entry["bias"] = _t2np(state_dict[k])
+        elif k.startswith("l2_norm"):
+            params["l2norm"] = {"gamma": _t2np(state_dict[k])}
+    return params
+
+
 def convert_torch_retinanet(state_dict, depth: int = 50,
                             num_laterals: int = 3,
                             stacked_convs: int = 4) -> dict:

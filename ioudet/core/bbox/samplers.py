@@ -76,14 +76,10 @@ class InstanceBalancedPosSampler(RandomSampler):
 
     def _pos_priority(self, assign_result: AssignResult, key) -> jnp.ndarray:
         noise = jax.random.uniform(key, assign_result.gt_inds.shape)
-        # rank within each instance: scatter-free via sort over (gt, noise)
         gt = assign_result.gt_inds
-        order = jnp.argsort(gt * 1000 + noise)  # groups instances together
-        within = jnp.zeros_like(noise)
-        # position within group approximated by cumulative count of same gt
+        # within-instance rank: count same-gt entries with smaller noise
         same = (gt[:, None] == gt[None, :]) & (noise[None, :] < noise[:, None])
         within = jnp.sum(same, axis=1).astype(jnp.float32)
-        del order
         # lower within-instance rank -> higher priority
         return -within + noise * 1e-3
 
@@ -104,11 +100,15 @@ class IoUBalancedNegSampler(RandomSampler):
 
     def _neg_priority(self, assign_result: AssignResult, key) -> jnp.ndarray:
         noise = jax.random.uniform(key, assign_result.gt_inds.shape)
+        neg = assign_result.gt_inds == 0
         iou = jnp.clip(assign_result.max_overlaps, 0.0, 0.999)
         bin_idx = (iou * self.num_bins).astype(jnp.int32)
-        bins = jax.nn.one_hot(bin_idx, self.num_bins)
-        within = jnp.sum(
-            bins * jnp.cumsum(bins, axis=0), axis=-1)  # 1-based rank in bin
+        # within-bin rank by NOISE over negatives only: bins contribute
+        # round-robin (rank-0 of every bin before any rank-1), matching the
+        # per-bin quota semantics without positional bias
+        same_bin = (bin_idx[:, None] == bin_idx[None, :]) & neg[None, :] & \
+            (noise[None, :] < noise[:, None])
+        within = jnp.sum(same_bin, axis=1).astype(jnp.float32)
         return -within + noise * 1e-3
 
 

@@ -123,14 +123,27 @@ def merge(rles: Sequence[RLE]) -> RLE:
     return encode(m.astype(np.uint8))
 
 
+def _counts_of(rle: RLE) -> List[int]:
+    c = rle["counts"]
+    return string_to_counts(c) if isinstance(c, (str, bytes)) else list(c)
+
+
 def iou(dt: Sequence[RLE], gt: Sequence[RLE],
         iscrowd: Sequence[int]) -> np.ndarray:
     """(D, G) mask IoU; crowd gt -> intersection over det area (pycocotools
-    rleIou semantics)."""
+    rleIou semantics).  Runs on the native run-walk kernel
+    (csrc/host_ops.cpp::rle_iou_matrix — same design as pycocotools' C
+    rleIou: no pixel decode) with a numpy decode fallback."""
     D, G = len(dt), len(gt)
     out = np.zeros((D, G))
     if D * G == 0:
         return out
+    from ...ops.host_ops import rle_iou_host
+    native = rle_iou_host([_counts_of(r) for r in dt],
+                          [_counts_of(r) for r in gt],
+                          np.asarray(iscrowd, np.uint8))
+    if native is not None:
+        return native
     d_masks = [decode(r).astype(bool) for r in dt]
     g_masks = [decode(r).astype(bool) for r in gt]
     d_areas = [m.sum() for m in d_masks]
@@ -181,9 +194,14 @@ def paste_mask(box_xyxy: np.ndarray, mask_prob: np.ndarray, h: int, w: int,
     bw, bh = x2 - x1, y2 - y1
     if bw <= 0 or bh <= 0:
         return out
-    from PIL import Image
-    resized = np.asarray(Image.fromarray(
-        (np.asarray(mask_prob, np.float32) * 255).astype(np.uint8)).resize(
-            (bw, bh), Image.BILINEAR), np.float32) / 255.0
+    prob = np.asarray(mask_prob, np.float32)
+    try:  # cv2 == mmcv.imresize: exact reference numerics on the prob map
+        import cv2
+        resized = cv2.resize(prob, (bw, bh), interpolation=cv2.INTER_LINEAR)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+        resized = np.asarray(Image.fromarray(
+            (prob * 255).astype(np.uint8)).resize(
+                (bw, bh), Image.BILINEAR), np.float32) / 255.0
     out[y1:y2, x1:x2] = (resized > thr).astype(np.uint8)
     return out

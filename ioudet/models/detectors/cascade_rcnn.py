@@ -106,7 +106,8 @@ class CascadeRCNN(nn.Module):
             sel_boxes, sel_pos, sel_valid, matched_gt, labels, _ = \
                 sample_rois_batch(srng, boxes, box_valid, gt_bboxes,
                                   gt_valid, gt_labels, assigner,
-                                  num_samples, pos_fraction)
+                                  num_samples, pos_fraction,
+                                  sampler_cfg=sampler_cfg)
             rois = TwoStageDetector._to_rois(sel_boxes)
             roi_feats = self.bbox_roi_extractor(feats[:4], rois)
             cls_score, bbox_pred = head(roi_feats, train=True)

@@ -134,7 +134,8 @@ class HybridTaskCascade(CascadeRCNN):
             sel_boxes, sel_pos, sel_valid, matched_gt, labels, gt_idx = \
                 sample_rois_batch(srng, boxes, box_valid, gt_bboxes,
                                   gt_valid, gt_labels, assigner,
-                                  num_samples, pos_fraction)
+                                  num_samples, pos_fraction,
+                                  sampler_cfg=sampler_cfg)
             rois = TwoStageDetector._to_rois(sel_boxes)
             roi_feats = self._bbox_feats(feats, rois, semantic_feat,
                                          train=True)
@@ -164,7 +165,8 @@ class HybridTaskCascade(CascadeRCNN):
                         sample_rois_batch(mrng, refined, sel_valid,
                                           gt_bboxes, gt_valid, gt_labels,
                                           assigner, num_samples,
-                                          pos_fraction)
+                                          pos_fraction,
+                                          sampler_cfg=sampler_cfg)
                 else:
                     m_boxes, m_pos, m_labels, m_gtidx = (
                         sel_boxes, sel_pos, labels, gt_idx)

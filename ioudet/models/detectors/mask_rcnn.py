@@ -66,7 +66,8 @@ class MaskRCNN(TwoStageDetector):
         sel_boxes, sel_pos, sel_valid, matched_gt, labels, gt_idx = \
             sample_rois_batch(rng, dets[..., :4], dets[..., 4] > 0,
                               gt_bboxes, gt_valid, gt_labels, assigner,
-                              num_samples, pos_fraction)
+                              num_samples, pos_fraction,
+                              sampler_cfg=sampler_cfg)
 
         rois = self._to_rois(sel_boxes)
         roi_feats = self.bbox_roi_extractor(feats[:4], rois)

@@ -32,21 +32,36 @@ from ..heads.anchor_head import clip_boxes
 
 def sample_rois_batch(rng, proposals, prop_valid, gt_bboxes, gt_valid,
                       gt_labels, assigner, num_samples, pos_fraction,
-                      add_gt: bool = True):
+                      add_gt: bool = True, sampler_cfg=None):
     """Fixed-shape R-CNN proposal sampling, vmapped over the batch (ref:
-    mmdet/core/bbox/samplers/random_sampler.py via assign_and_sample).
+    mmdet/core/bbox/assign_sampling.py (assign_and_sample)).
 
-    The reference's randperm sampling becomes rank-based fixed-k selection:
-    per-proposal random priorities, positives capped by rank at
+    The reference's randperm sampling becomes rank-based fixed-k selection
+    through the registered sampler family (core/bbox/samplers.py):
+    per-proposal priorities (uniform noise for RandomSampler, within-IoU-bin
+    round-robin for Libra's IoUBalancedNegSampler, per-instance round-robin
+    for InstanceBalancedPosSampler), positives capped by rank at
     num*pos_fraction, negatives fill the remainder, one top-k gather — the
-    same sampling distribution with static shapes (no nonzero).
+    same sampling distribution with static shapes (no nonzero).  OHEM's
+    loss-aware selection needs head losses unavailable at this layer; its
+    config falls back to random here (the SSD head implements true OHEM).
 
     Returns per-image (num_samples,)-shaped arrays:
       sel_boxes (B,N,4), sel_pos (B,N) bool, sel_valid (B,N) bool,
       matched_gt (B,N,4), labels (B,N) int (0 for negatives), gt_idx (B,N).
     """
+    from ...core.bbox.samplers import build_sampler
+
     B = proposals.shape[0]
     G = gt_bboxes.shape[1]
+    scfg = {k: v for k, v in dict(sampler_cfg or {}).items()
+            if k not in ("type", "num", "pos_fraction",
+                         "add_gt_as_proposals")}
+    styp = dict(sampler_cfg or {}).get("type", "RandomSampler")
+    if styp in ("OHEMSampler", "PseudoSampler"):
+        styp, scfg = "RandomSampler", {}
+    sampler = build_sampler(dict(scfg, type=styp, num=num_samples,
+                                 pos_fraction=pos_fraction))
 
     def sample_one(key, props, pv, gb, gv, gl):
         if add_gt:
@@ -55,20 +70,10 @@ def sample_rois_batch(rng, proposals, prop_valid, gt_bboxes, gt_valid,
         else:
             boxes, valid = props, pv
         res = assigner.assign(boxes, gb, gv, valid, gl)
-        pos = res.gt_inds > 0
-        neg = res.gt_inds == 0
         k1, k2 = jax.random.split(key)
-        noise = jax.random.uniform(k1, pos.shape)
-        max_pos = int(num_samples * pos_fraction)
-        pos_rank = jnp.argsort(jnp.argsort(
-            jnp.where(pos, noise, -1.0))[::-1])
-        sampled_pos = pos & (pos_rank < max_pos)
-        n_pos = jnp.sum(sampled_pos)
-        neg_noise = jax.random.uniform(k2, neg.shape)
-        neg_rank = jnp.argsort(jnp.argsort(
-            jnp.where(neg, neg_noise, -1.0))[::-1])
-        sampled_neg = neg & (neg_rank < num_samples - n_pos)
+        sampled_pos, sampled_neg = sampler.sample(res, k1)
         sel = sampled_pos | sampled_neg
+        noise = jax.random.uniform(k2, sel.shape)
         prio = sel.astype(jnp.float32) * 10.0 + noise
         _, idx = jax.lax.top_k(prio, num_samples)
         safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
@@ -143,7 +148,8 @@ class TwoStageDetector(nn.Module):
         sel_boxes, sel_pos, sel_valid, matched_gt, labels, _ = \
             sample_rois_batch(rng, dets[..., :4], dets[..., 4] > 0,
                               gt_bboxes, gt_valid, gt_labels, assigner,
-                              num_samples, pos_fraction)
+                              num_samples, pos_fraction,
+                              sampler_cfg=sampler_cfg)
 
         rois = self._to_rois(sel_boxes)  # (B*N, 5)
         roi_feats = self.bbox_roi_extractor(feats[:4], rois)

@@ -61,6 +61,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.coco_match_cpu.argtypes = [f32p, ctypes.c_int, ctypes.c_int, u8p, u8p,
                                    f64p, ctypes.c_int, i64p, u8p]
     lib.coco_match_cpu.restype = None
+    try:  # added after round 1 — absent in stale prebuilt .so
+        lib.rle_iou_matrix.argtypes = [i64p, i64p, ctypes.c_int,
+                                       i64p, i64p, ctypes.c_int,
+                                       i64p, i64p, u8p, f64p]
+        lib.rle_iou_matrix.restype = None
+    except AttributeError:
+        pass
     _lib = lib
     return lib
 
@@ -188,3 +195,33 @@ def coco_match_host(ious: np.ndarray, gt_ignore: np.ndarray,
                            dtm, dtIg)
         return dtm, dtIg.astype(bool)
     return None, None  # caller falls back to python loop
+
+
+def rle_iou_host(d_counts_list, g_counts_list,
+                 iscrowd: np.ndarray) -> Optional[np.ndarray]:
+    """(D, G) mask IoU straight from run-length counts — no pixel decode
+    (native twin of pycocotools rleIou; ref: maskUtils.iou).  Returns None
+    when the native lib is unavailable (caller decodes and falls back)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rle_iou_matrix"):
+        return None
+    D, G = len(d_counts_list), len(g_counts_list)
+    out = np.zeros((D, G), np.float64)
+    if D == 0 or G == 0:
+        return out
+
+    def pack(lists):
+        offs = np.zeros(len(lists) + 1, np.int64)
+        for i, c in enumerate(lists):
+            offs[i + 1] = offs[i] + len(c)
+        flat = (np.concatenate([np.asarray(c, np.int64) for c in lists])
+                if offs[-1] else np.zeros((1,), np.int64))
+        areas = np.asarray([int(np.sum(np.asarray(c, np.int64)[1::2]))
+                            for c in lists], np.int64)
+        return np.ascontiguousarray(flat), offs, areas
+
+    dflat, doffs, dareas = pack(d_counts_list)
+    gflat, goffs, gareas = pack(g_counts_list)
+    lib.rle_iou_matrix(dflat, doffs, D, gflat, goffs, G, dareas, gareas,
+                       np.ascontiguousarray(iscrowd, np.uint8), out)
+    return out

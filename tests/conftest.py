@@ -12,7 +12,16 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# On a low-core host the 8 virtual device threads time-share the CPU and
+# reach collectives far apart; XLA's default 40 s rendezvous termination
+# then ABORTS the whole process mid-all-reduce (seen as 'Fatal Python
+# error: Aborted' at test_parallel under a loaded suite).  These must be
+# set before the first backend init — flag parsing happens once.
+if "collective_call_terminate" not in _flags:
+    _flags += (" --xla_cpu_collective_timeout_seconds=1800"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax  # noqa: E402
 

@@ -155,3 +155,62 @@ class TestApproxMaxIoUAssigner:
         res = a.assign_approx(approxs, squares, gt, jnp.asarray([True]),
                               jnp.asarray([True]))
         assert int(res.gt_inds[0]) <= 0
+
+
+class TestSamplerTypesInRoISampling:
+    """sample_rois_batch honors train_cfg.rcnn.sampler.type (ref:
+    assign_and_sample): Libra's IoUBalancedNegSampler must draw negatives
+    evenly across IoU bins instead of uniformly."""
+
+    def _setup(self):
+        import numpy as np
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        B, P, G = 1, 300, 1
+        gt = jnp.asarray([[[100.0, 100.0, 200.0, 200.0]]])
+        # negatives: 90% zero-IoU far boxes, 10% medium-IoU (0.1-0.4) boxes
+        far = rng.uniform(300, 700, (270, 2)).astype(np.float32)
+        far = np.concatenate([far, far + 50], -1)
+        near = []
+        for k in range(30):
+            # IoU = (100-dx)/(100+dx) in (0.35, 0.49): lands in bin 1 of 3,
+            # clearly separated from the zero-IoU far pool (bin 0)
+            dx = 34 + k // 2
+            near.append([100.0 + dx, 100.0 + (k % 2), 200.0 + dx, 200.0])
+        props = jnp.asarray(np.concatenate([far, np.asarray(near, np.float32)])
+                            )[None]
+        return props, gt
+
+    def _sample(self, sampler_cfg, seed=0):
+        import jax
+        import jax.numpy as jnp
+        from ioudet.core.bbox import MaxIoUAssigner
+        from ioudet.models.detectors.two_stage import sample_rois_batch
+        props, gt = self._setup()
+        assigner = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                  min_pos_iou=0.5)
+        out = sample_rois_batch(
+            jax.random.PRNGKey(seed), props, jnp.ones(props.shape[:2], bool),
+            gt, jnp.ones((1, 1), bool), jnp.ones((1, 1), jnp.int32),
+            assigner, 64, 0.25, sampler_cfg=sampler_cfg)
+        sel_boxes, sel_pos, sel_valid = out[0], out[1], out[2]
+        # count selected negatives that are the "near" (medium-IoU) kind
+        import numpy as np
+        b = np.asarray(sel_boxes[0])
+        neg = np.asarray(sel_valid[0]) & ~np.asarray(sel_pos[0])
+        is_near = (b[:, 0] > 130) & (b[:, 0] < 150) & (b[:, 1] < 102)
+        return int((neg & is_near).sum()), int(neg.sum())
+
+    def test_iou_balanced_oversamples_hard_negatives(self):
+        counts_rand, counts_bal = [], []
+        for seed in range(4):
+            n_rand, t_rand = self._sample(dict(type="RandomSampler"), seed)
+            n_bal, t_bal = self._sample(
+                dict(type="IoUBalancedNegSampler", num_bins=3), seed)
+            counts_rand.append(n_rand / max(t_rand, 1))
+            counts_bal.append(n_bal / max(t_bal, 1))
+        import numpy as np
+        # near boxes are 10% of the pool: random draws ~10%; balanced bins
+        # must overweight them substantially
+        assert np.mean(counts_bal) > np.mean(counts_rand) * 1.5, \
+            (counts_rand, counts_bal)

@@ -91,3 +91,51 @@ class TestNativeCocoMatch:
         for k in native_metrics:
             np.testing.assert_allclose(native_metrics[k], py_metrics[k],
                                        atol=1e-9, err_msg=k)
+
+
+class TestNativeRleIoU:
+    """csrc rle_iou_matrix (run-walk, no pixel decode) vs the numpy
+    decode-based oracle."""
+
+    def test_matches_decode_oracle(self):
+        import numpy as np
+        from ioudet.core.mask import rle
+        from ioudet.ops.host_ops import rle_iou_host, native_available
+        if not native_available():
+            import pytest
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(0)
+        H = W = 40
+        def rand_rle():
+            m = (rng.uniform(size=(H, W)) <
+                 rng.uniform(0.1, 0.6)).astype(np.uint8)
+            return rle.encode(m)
+        dts = [rand_rle() for _ in range(5)]
+        gts = [rand_rle() for _ in range(4)]
+        crowd = np.asarray([0, 1, 0, 1], np.uint8)
+        native = rle_iou_host([rle._counts_of(r) for r in dts],
+                              [rle._counts_of(r) for r in gts], crowd)
+        # decode-based oracle
+        dm = [rle.decode(r).astype(bool) for r in dts]
+        gm = [rle.decode(r).astype(bool) for r in gts]
+        want = np.zeros((5, 4))
+        for i in range(5):
+            for j in range(4):
+                inter = (dm[i] & gm[j]).sum()
+                denom = dm[i].sum() if crowd[j] else \
+                    dm[i].sum() + gm[j].sum() - inter
+                want[i, j] = inter / max(denom, 1e-10)
+        np.testing.assert_allclose(native, want, rtol=1e-12)
+
+    def test_empty_masks(self):
+        import numpy as np
+        from ioudet.core.mask import rle
+        from ioudet.ops.host_ops import rle_iou_host, native_available
+        if not native_available():
+            import pytest
+            pytest.skip("native lib unavailable")
+        empty = rle.encode(np.zeros((8, 8), np.uint8))
+        full = rle.encode(np.ones((8, 8), np.uint8))
+        out = rle_iou_host([rle._counts_of(empty)], [rle._counts_of(full)],
+                           np.asarray([0], np.uint8))
+        assert out.shape == (1, 1) and out[0, 0] == 0.0

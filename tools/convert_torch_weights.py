@@ -23,6 +23,9 @@ def main():
     p.add_argument("pth", help="torch state_dict (.pth)")
     p.add_argument("out_dir")
     p.add_argument("--depth", type=int, default=50)
+    p.add_argument("--backbone", default="resnet",
+                   choices=["resnet", "hrnet", "ssd_vgg"],
+                   help="backbone family for backbone-only conversion")
     p.add_argument("--full", action="store_true",
                    help="convert the full detector (backbone+neck+head)")
     p.add_argument("--num-laterals", type=int, default=3,
@@ -31,8 +34,10 @@ def main():
     args = p.parse_args()
 
     import torch
-    from ioudet.apis.checkpoint import (convert_torch_resnet,
+    from ioudet.apis.checkpoint import (convert_torch_hrnet,
+                                        convert_torch_resnet,
                                         convert_torch_retinanet,
+                                        convert_torch_ssd_vgg,
                                         save_checkpoint)
 
     sd = torch.load(args.pth, map_location="cpu", weights_only=False)
@@ -45,7 +50,10 @@ def main():
                                          stacked_convs=args.stacked_convs)
     else:
         sd = {k.replace("backbone.", ""): v for k, v in sd.items()}
-        params = {"backbone": convert_torch_resnet(sd, depth=args.depth)}
+        conv = {"resnet": lambda s: convert_torch_resnet(s, depth=args.depth),
+                "hrnet": convert_torch_hrnet,
+                "ssd_vgg": convert_torch_ssd_vgg}[args.backbone]
+        params = {"backbone": conv(sd)}
     path = save_checkpoint(os.path.dirname(os.path.abspath(args.out_dir)) or ".",
                            os.path.basename(args.out_dir),
                            {"params": params},
