@@ -191,9 +191,13 @@ class ResNet(nn.Module):
     dcn_modulated: bool = False
     stage_with_gcb: Tuple[bool, ...] = (False, False, False, False)
     # MLPerf-style stem: run the 7x7/s2 conv as space-to-depth(2) + 4x4/s1.
-    # Bit-identical arithmetic (same taps, zero-padded to the 4x4 grid);
-    # see _StemS2DConv for the derivation and measured numbers.
-    stem_space_to_depth: bool = True
+    # Bit-identical arithmetic in isolation (same taps, zero-padded to the
+    # 4x4 grid; see _StemS2DConv) and measured NEUTRAL inside the fused
+    # detector program on v5e — and the closed-loop convergence test
+    # REGRESSED with it enabled (AP50 0.88 -> 0.05 on the planted-box task,
+    # reproducible, despite unit-level forward/grad equality) — so it stays
+    # opt-in, default off.
+    stem_space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -38,6 +38,12 @@ def planted_coco(tmp_path_factory):
 
 
 def test_train_to_map(planted_coco, tmp_path):
+    # pipeline augmentations (RandomFlip, scale jitter) draw from the GLOBAL
+    # python/numpy RNGs, whose state here depends on whatever tests ran
+    # before — pin them so the training trajectory is order-independent
+    import random as pyrandom
+    pyrandom.seed(1234)
+    np.random.seed(1234)
     import jax
     import jax.numpy as jnp
     from ioudet.apis import train_detector, single_device_test
@@ -94,14 +100,18 @@ def test_train_to_map(planted_coco, tmp_path):
                   val=dict(type="CocoDataset", ann_file=ann_file,
                            img_prefix=img_dir, pipeline=pipe_test,
                            test_mode=True)),
-        optimizer=dict(type="SGD", lr=0.01, momentum=0.9,
+        optimizer=dict(type="SGD", lr=0.005, momentum=0.9,
                        weight_decay=0.0001),
         optimizer_config=dict(grad_clip=dict(max_norm=35)),
         lr_config=dict(policy="step", warmup="linear", warmup_iters=20,
-                       warmup_ratio=0.1, step=[1000]),
+                       warmup_ratio=0.1, step=[70]),
         checkpoint_config=dict(interval=1000),
         log_config=dict(interval=20),
-        total_epochs=60,  # 2 iters/epoch -> 120 steps
+        # lr 0.005 with a step decay at epoch 70: lr 0.01 on this tiny
+        # chaotic task was bimodal (identical seeds produced AP50 of 0.01
+        # OR 0.89 across runs — XLA:CPU float nondeterminism amplified over
+        # the trajectory); this recipe measured AP50=1.0, AP~0.92 twice
+        total_epochs=90,
         work_dir=str(tmp_path / "work"),
     ))
     det = build_detector(dict(cfg.model), cfg.get("train_cfg"),
@@ -115,5 +125,5 @@ def test_train_to_map(planted_coco, tmp_path):
                                  progress=False)
     metrics = val.evaluate(results)
     # a real, measured AP on the full train->eval loop
-    assert metrics["AP50"] > 0.5, metrics
-    assert metrics["AP"] > 0.25, metrics
+    assert metrics["AP50"] > 0.8, metrics
+    assert metrics["AP"] > 0.5, metrics
