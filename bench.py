@@ -76,11 +76,11 @@ def main():
     # dispatch+fetch round trip costs ~27 ms — fetching EVERY iteration
     # would overstate per-batch cost by that much, so the fetch is
     # amortized over CHAIN carry-dependent iterations (still every input
-    # unique, still serially chained).  CHAIN=6 measured safe (160 img/s)
-    # and shaves ~2 ms/iter of fetch overhead vs 4; CHAIN=8 crosses the
-    # relay's long-unfetched-queue threshold and triggers its ~3 s/step
-    # replay pathology (measured: 161 img/s at 4, 6 img/s at 8).
-    chain = int(os.environ.get("BENCH_CHAIN", 6))
+    # unique, still serially chained).  CHAIN=4 is the safe setting: 6
+    # measured 160 img/s once but INTERMITTENTLY crosses the relay's
+    # long-unfetched-queue threshold and collapses to ~5 img/s (observed);
+    # 8 always does (measured: 161 img/s at 4, 6 img/s at 8).
+    chain = int(os.environ.get("BENCH_CHAIN", 4))
     carry = jnp.float32(0.0)
     times = []
     for rep in range(max(1, iters // chain)):
