@@ -32,7 +32,8 @@ from ..heads.anchor_head import clip_boxes
 
 def sample_rois_batch(rng, proposals, prop_valid, gt_bboxes, gt_valid,
                       gt_labels, assigner, num_samples, pos_fraction,
-                      add_gt: bool = True, sampler_cfg=None):
+                      add_gt: bool = True, sampler_cfg=None,
+                      hardness_fn=None):
     """Fixed-shape R-CNN proposal sampling, vmapped over the batch (ref:
     mmdet/core/bbox/assign_sampling.py (assign_and_sample)).
 
@@ -42,15 +43,19 @@ def sample_rois_batch(rng, proposals, prop_valid, gt_bboxes, gt_valid,
     round-robin for Libra's IoUBalancedNegSampler, per-instance round-robin
     for InstanceBalancedPosSampler), positives capped by rank at
     num*pos_fraction, negatives fill the remainder, one top-k gather — the
-    same sampling distribution with static shapes (no nonzero).  OHEM's
-    loss-aware selection needs head losses unavailable at this layer; its
-    config falls back to random here (the SSD head implements true OHEM).
+    same sampling distribution with static shapes (no nonzero).
+
+    OHEM (ref: ohem_sampler.py hard_mining): the caller supplies
+    ``hardness_fn(boxes (B,N,4), labels (B,N)) -> (B,N)`` per-candidate loss
+    (a stop-gradient head forward over ALL candidates, like the reference's
+    no-grad pass); selection then ranks by loss instead of noise.  Without
+    a hardness_fn an OHEM config falls back to random.
 
     Returns per-image (num_samples,)-shaped arrays:
       sel_boxes (B,N,4), sel_pos (B,N) bool, sel_valid (B,N) bool,
       matched_gt (B,N,4), labels (B,N) int (0 for negatives), gt_idx (B,N).
     """
-    from ...core.bbox.samplers import build_sampler
+    from ...core.bbox.samplers import OHEMSampler, build_sampler
 
     B = proposals.shape[0]
     G = gt_bboxes.shape[1]
@@ -58,31 +63,52 @@ def sample_rois_batch(rng, proposals, prop_valid, gt_bboxes, gt_valid,
             if k not in ("type", "num", "pos_fraction",
                          "add_gt_as_proposals")}
     styp = dict(sampler_cfg or {}).get("type", "RandomSampler")
-    if styp in ("OHEMSampler", "PseudoSampler"):
+    use_ohem = styp == "OHEMSampler" and hardness_fn is not None
+    if styp in ("OHEMSampler", "PseudoSampler") and not use_ohem:
         styp, scfg = "RandomSampler", {}
     sampler = build_sampler(dict(scfg, type=styp, num=num_samples,
                                  pos_fraction=pos_fraction))
 
-    def sample_one(key, props, pv, gb, gv, gl):
+    # phase 1: assign every candidate (vmapped)
+    def assign_one(props, pv, gb, gv, gl):
         if add_gt:
             boxes = jnp.concatenate([props, gb], axis=0)
             valid = jnp.concatenate([pv, gv], axis=0)
         else:
             boxes, valid = props, pv
         res = assigner.assign(boxes, gb, gv, valid, gl)
+        return boxes, res.gt_inds, res.max_overlaps, res.labels
+
+    boxes_all, gt_inds_all, max_ov_all, lab_all = jax.vmap(assign_one)(
+        proposals, prop_valid, gt_bboxes, gt_valid, gt_labels)
+
+    # phase 2: optional loss-aware hardness over ALL candidates
+    hardness = (hardness_fn(boxes_all, lab_all) if use_ohem else None)
+
+    # phase 3: per-image selection
+    def select_one(key, boxes, gt_inds, max_ov, lab, gb, gv, gl, hard):
+        from ...core.bbox.assigners import AssignResult
+        res = AssignResult(gt_inds, max_ov, lab)
         k1, k2 = jax.random.split(key)
-        sampled_pos, sampled_neg = sampler.sample(res, k1)
+        if use_ohem:
+            sampled_pos, sampled_neg = sampler.sample_with_losses(
+                res, hard, k1)
+        else:
+            sampled_pos, sampled_neg = sampler.sample(res, k1)
         sel = sampled_pos | sampled_neg
         noise = jax.random.uniform(k2, sel.shape)
         prio = sel.astype(jnp.float32) * 10.0 + noise
         _, idx = jax.lax.top_k(prio, num_samples)
-        safe_gt = jnp.clip(res.gt_inds[idx] - 1, 0, G - 1)
+        safe_gt = jnp.clip(gt_inds[idx] - 1, 0, G - 1)
         return (boxes[idx], sampled_pos[idx], sel[idx], gb[safe_gt],
                 jnp.where(sampled_pos[idx], gl[safe_gt], 0), safe_gt)
 
     keys = jax.random.split(rng, B)
-    return jax.vmap(sample_one)(keys, proposals, prop_valid, gt_bboxes,
-                                gt_valid, gt_labels)
+    dummy = hardness if hardness is not None else \
+        jnp.zeros(boxes_all.shape[:2], jnp.float32)
+    return jax.vmap(select_one)(keys, boxes_all, gt_inds_all, max_ov_all,
+                                lab_all, gt_bboxes, gt_valid, gt_labels,
+                                dummy)
 
 
 @DETECTORS.register_module
@@ -145,11 +171,28 @@ class TwoStageDetector(nn.Module):
             rng = self.make_rng("sampler") if self.has_rng("sampler") else \
                 jax.random.PRNGKey(0)
 
+        hardness_fn = None
+        if sampler_cfg.get("type") == "OHEMSampler":
+            # OHEM (ref: ohem_sampler.py): rank candidates by their current
+            # classification loss from a no-grad head forward over ALL
+            # proposals (pos target = assigned label, neg target = bg)
+            def hardness_fn(boxes_all, labels_all):
+                B_, N_ = labels_all.shape
+                rois_all = self._to_rois(jax.lax.stop_gradient(boxes_all))
+                feats_sg = jax.tree.map(jax.lax.stop_gradient, feats)
+                rf = self.bbox_roi_extractor(feats_sg[:4], rois_all)
+                cls, _ = self.bbox_head(rf, train=True)
+                tgt = jnp.clip(labels_all.reshape(-1), 0, None)
+                logp = jax.nn.log_softmax(cls.astype(jnp.float32), axis=-1)
+                nll = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+                return jax.lax.stop_gradient(nll.reshape(B_, N_))
+
         sel_boxes, sel_pos, sel_valid, matched_gt, labels, _ = \
             sample_rois_batch(rng, dets[..., :4], dets[..., 4] > 0,
                               gt_bboxes, gt_valid, gt_labels, assigner,
                               num_samples, pos_fraction,
-                              sampler_cfg=sampler_cfg)
+                              sampler_cfg=sampler_cfg,
+                              hardness_fn=hardness_fn)
 
         rois = self._to_rois(sel_boxes)  # (B*N, 5)
         roi_feats = self.bbox_roi_extractor(feats[:4], rois)

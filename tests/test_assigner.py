@@ -214,3 +214,104 @@ class TestSamplerTypesInRoISampling:
         # must overweight them substantially
         assert np.mean(counts_bal) > np.mean(counts_rand) * 1.5, \
             (counts_rand, counts_bal)
+
+
+class TestOHEMSampling:
+    def test_hardness_drives_selection(self):
+        """sample_rois_batch with an OHEM config + hardness_fn must select
+        the highest-loss negatives, not random ones."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from ioudet.core.bbox import MaxIoUAssigner
+        from ioudet.models.detectors.two_stage import sample_rois_batch
+
+        rng = np.random.default_rng(0)
+        P, G = 200, 1
+        props = jnp.asarray(
+            rng.uniform(300, 700, (1, P, 2)).astype(np.float32))
+        props = jnp.concatenate([props, props + 40], -1)  # all negatives
+        gt = jnp.asarray([[[0.0, 0.0, 50.0, 50.0]]])
+        assigner = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                  min_pos_iou=0.5)
+
+        # hardness: high loss exactly for candidates 10..25
+        def hardness_fn(boxes_all, labels_all):
+            idx = jnp.arange(boxes_all.shape[1])
+            return jnp.where((idx >= 10) & (idx < 26), 5.0, 0.1)[None, :]
+
+        out = sample_rois_batch(
+            jax.random.PRNGKey(0), props, jnp.ones((1, P), bool), gt,
+            jnp.ones((1, 1), bool), jnp.ones((1, 1), jnp.int32), assigner,
+            16, 0.25, sampler_cfg=dict(type="OHEMSampler"),
+            hardness_fn=hardness_fn)
+        sel_boxes, sel_pos, sel_valid = out[0], out[1], out[2]
+        # the 16 selected (minus the gt-as-proposal positive) must come from
+        # the hard range: match selected boxes back to the hard candidates
+        hard = np.asarray(props[0, 10:26])
+        chosen = np.asarray(sel_boxes[0])[np.asarray(sel_valid[0]) &
+                                          ~np.asarray(sel_pos[0])]
+        hits = sum(1 for c in chosen
+                   if (np.abs(hard - c).max(axis=1) < 1e-4).any())
+        assert hits == len(chosen) and hits >= 14, (hits, len(chosen))
+
+    def test_ohem_detector_end_to_end(self):
+        """Faster R-CNN with an OHEM sampler config trains with finite
+        losses through the no-grad hardness pass."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from ioudet.models import build_detector
+
+        det = build_detector(dict(
+            type="FasterRCNN",
+            backbone=dict(type="ResNet", depth=18, frozen_stages=1,
+                          norm_cfg=dict(type="FrozenBN")),
+            neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                      out_channels=32, num_outs=5),
+            rpn_head=dict(type="RPNHead", num_classes=2, in_channels=32,
+                          feat_channels=32, anchor_scales=(8,),
+                          anchor_ratios=(0.5, 1.0, 2.0),
+                          anchor_strides=(4, 8, 16, 32, 64),
+                          loss_cls=dict(type="FocalLoss", use_sigmoid=True,
+                                        gamma=2.0, alpha=0.25,
+                                        loss_weight=1.0),
+                          loss_bbox=dict(type="SmoothL1Loss", beta=0.11,
+                                         loss_weight=1.0)),
+            bbox_roi_extractor=dict(type="SingleRoIExtractor",
+                                    out_channels=32,
+                                    featmap_strides=(4, 8, 16, 32),
+                                    roi_layer=dict(out_size=7,
+                                                   sample_num=2)),
+            bbox_head=dict(type="SharedFCBBoxHead", num_classes=5,
+                           in_channels=32, fc_out_channels=32)),
+            dict(rpn=dict(assigner=dict(type="MaxIoUAssigner",
+                                        pos_iou_thr=0.7, neg_iou_thr=0.3,
+                                        min_pos_iou=0.3), allowed_border=0),
+                 rpn_proposal=dict(nms_pre=100, max_num=48, nms_thr=0.7),
+                 rcnn=dict(sampler=dict(type="OHEMSampler", num=24,
+                                        pos_fraction=0.25))),
+            dict(rpn=dict(nms_pre=50, max_num=16, nms_thr=0.7),
+                 rcnn=dict(score_thr=0.05, nms=dict(iou_thr=0.5),
+                           max_per_img=8)))
+        rng = np.random.default_rng(3)
+        B, G = 2, 2
+        img = jnp.asarray(rng.normal(0, 1, (B, 64, 96, 3)), jnp.float32)
+        xy = rng.uniform(0, 40, (B, G, 2)).astype(np.float32)
+        batch = dict(img=img,
+                     gt_bboxes=jnp.asarray(np.concatenate([xy, xy + 25], -1)),
+                     gt_labels=jnp.asarray(rng.integers(1, 5, (B, G)),
+                                           jnp.int32),
+                     gt_valid=jnp.ones((B, G), bool),
+                     shape=jnp.tile(jnp.asarray([[64, 96]], jnp.int32),
+                                    (B, 1)))
+        variables = det.init(
+            {"params": jax.random.PRNGKey(0),
+             "sampler": jax.random.PRNGKey(7)},
+            img, batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"],
+            batch["shape"], batch["shape"], method=det.forward_train)
+        losses = jax.jit(lambda v, b: det.apply(
+            v, b["img"], b["gt_bboxes"], b["gt_labels"], b["gt_valid"],
+            b["shape"], b["shape"], method=det.forward_train,
+            rngs={"sampler": jax.random.PRNGKey(1)}))(variables, batch)
+        assert all(np.isfinite(float(v)) for v in losses.values())
