@@ -45,12 +45,13 @@ def _resize_bilinear_hpc(img: jnp.ndarray, out_h: int, out_w: int,
     return top * (1 - wy) + bot * wy
 
 
-@partial(jax.jit, static_argnames=("canvas", "max_scale"))
+@partial(jax.jit, static_argnames=("canvas", "max_scale", "flip_channels"))
 def preprocess(img: jnp.ndarray, src_shape: jnp.ndarray,
                canvas: Tuple[int, int] = (832, 1344),
                max_scale: Tuple[int, int] = (1333, 800),
                mean: Tuple[float, ...] = IMAGENET_MEAN,
-               std: Tuple[float, ...] = IMAGENET_STD):
+               std: Tuple[float, ...] = IMAGENET_STD,
+               flip_channels: bool = False):
     """img: (H, W, 3) uint8 buffer (content in the top-left (src_h, src_w));
     src_shape: (2,) actual content size.  Returns (canvas float32 image,
     img_shape (2,) int32, scale_factor () float32).
@@ -61,6 +62,8 @@ def preprocess(img: jnp.ndarray, src_shape: jnp.ndarray,
     pixels? No — pad is written AFTER normalize as true zeros, matching
     Pad(pad_val=0) on normalized images in the reference pipeline).
     """
+    if flip_channels:  # raw cv2/BGR buffers -> RGB, fused into the resize
+        img = img[..., ::-1]
     src_h = src_shape[0].astype(jnp.float32)
     src_w = src_shape[1].astype(jnp.float32)
     long_t, short_t = float(max(max_scale)), float(min(max_scale))
@@ -87,7 +90,12 @@ def preprocess(img: jnp.ndarray, src_shape: jnp.ndarray,
 
 def preprocess_batch(imgs: jnp.ndarray, src_shapes: jnp.ndarray,
                      canvas: Tuple[int, int] = (832, 1344),
-                     max_scale: Tuple[int, int] = (1333, 800)):
+                     max_scale: Tuple[int, int] = (1333, 800),
+                     mean: Tuple[float, ...] = IMAGENET_MEAN,
+                     std: Tuple[float, ...] = IMAGENET_STD,
+                     flip_channels: bool = False):
     """vmapped batch variant: imgs (B, H, W, 3) uint8 + src_shapes (B, 2)."""
-    fn = lambda im, ss: preprocess(im, ss, canvas=canvas, max_scale=max_scale)
+    fn = lambda im, ss: preprocess(im, ss, canvas=canvas, max_scale=max_scale,
+                                   mean=mean, std=std,
+                                   flip_channels=flip_channels)
     return jax.vmap(fn)(imgs, src_shapes)

@@ -23,6 +23,8 @@ def parse_args():
     p.add_argument("--eval", nargs="*", default=[],
                    help="metrics: bbox (COCO) / mAP (VOC)")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--device-preprocess", action="store_true",
+                   help="decode-only host loop; fused on-chip resize/normalize/pad")
     return p.parse_args()
 
 
@@ -43,7 +45,8 @@ def main():
                            cfg.get("test_cfg", {}))
     else:
         results = single_device_test(handle.detector, handle.params, dataset,
-                                     imgs_per_batch=args.batch)
+                                     imgs_per_batch=args.batch,
+                                     device_preprocess=args.device_preprocess)
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
