@@ -40,15 +40,26 @@ def main():
     variables = det.init(jax.random.PRNGKey(0), img0)
     params = variables["params"]
 
+    # BENCH_QUANT=int8 routes every supported conv through the w8a8 dynamic
+    # quantized kernel (ops/quant.py) — int8 MXU measured 167 vs 123 TOPS
+    quant = os.environ.get("BENCH_QUANT", "") == "int8"
+
     @jax.jit
     def predict(params, img, img_shape, scale_factor, pad_shape,
                 carry=jnp.float32(0.0)):
         # the carry chains iterations (forces real execution, see below) and
         # is computed IN-program: eager host-side ops are pathologically
         # slow through remote-device relays
-        dets, labels = det.apply({"params": params}, img + carry * 1e-30,
-                                 img_shape, scale_factor, pad_shape,
-                                 method=det.simple_test)
+        import contextlib
+        from ioudet.ops.quant import quantize_calls
+        act_scale = os.environ.get("BENCH_QUANT_ACT_SCALE")
+        ctx = quantize_calls(
+            act_scale=float(act_scale) if act_scale else None) \
+            if quant else contextlib.nullcontext()
+        with ctx:
+            dets, labels = det.apply({"params": params}, img + carry * 1e-30,
+                                     img_shape, scale_factor, pad_shape,
+                                     method=det.simple_test)
         return dets, labels, dets[0, 0, 4]
 
     # EVERY input buffer is unique (seeded by time+pid): the runtime relay
