@@ -17,11 +17,16 @@ Normalized by num_pos like the other terms.  Default w_iou = 1.0 (paper
 ablates {0.5, 1, 2}).
 
 Inference: final score S = p**alpha * IoU_pred**(1 - alpha), alpha = 0.5
-(paper eq. 4), applied per level BEFORE the nms_pre top-k by default so
-candidate selection already reflects localization quality; then the standard
-decode -> concat -> multiclass NMS pipeline.  SURVEY flags the fork's exact
-ordering as re-verify-against-source: ``test_cfg.rescore_before_topk=False``
-switches to the rescore-after-top-k variant without code changes.
+(paper eq. 4).  DEFAULT ordering follows the reference semantics (mmdet's
+get_bboxes: per-level nms_pre top-k runs on the RAW cls scores, the IoU
+factor multiplies afterwards via the multiclass_nms ``score_factors`` hook
+— ref: mmdet/models/anchor_heads/anchor_head.py (get_bboxes_single) +
+mmdet/core/post_processing/bbox_nms.py (multiclass_nms)).  Setting
+``test_cfg.rescore_before_topk=True`` opts into the improvement where
+candidate selection already reflects localization quality (rescore BEFORE
+top-k); tests/test_rescoring_order.py quantifies the two orderings against
+each other.  Per VERDICT r2 weak #5, parity-first means the reference
+ordering is the default and the improvement is opt-in.
 """
 
 from __future__ import annotations
@@ -107,7 +112,7 @@ class IoUAwareRetinaHead(RetinaHead):
 
     def _decode_single_iou(self, scores_l, boxes_l, ious_l, img_shape,
                            nms_pre: int, alpha: float,
-                           rescore_before_topk: bool = True,
+                           rescore_before_topk: bool = False,
                            eps: float = 1e-6):
         featmap_sizes = [(s.shape[0], s.shape[1]) for s in scores_l]
         gens = self.anchor_generators()
@@ -128,9 +133,9 @@ class IoUAwareRetinaHead(RetinaHead):
             pairs = jnp.concatenate(
                 [level_anchors[lvl], boxes_l[lvl].reshape(n, 4)], axis=-1)
             if rescore_before_topk:
-                # default: candidate selection already reflects localization
-                # quality (SURVEY flags the fork's exact ordering as
-                # re-verify; flip via test_cfg.rescore_before_topk).
+                # opt-in improvement: candidate selection already reflects
+                # localization quality (reference ordering is the default;
+                # flip via test_cfg.rescore_before_topk — VERDICT r2 #5).
                 # PERF: top-k selection runs on a 1-D monotone PROXY —
                 # a*log_sigmoid(max_c logit) + (1-a)*log_sigmoid(iou logit)
                 # preserves the ranking of max_c S exactly (log is monotone,
@@ -147,9 +152,9 @@ class IoUAwareRetinaHead(RetinaHead):
                                    jax.nn.sigmoid(iou_logit[idx]))
                 pairs = pairs[idx]
             else:
-                # mmdet-ordering variant: top-k on raw cls scores first,
-                # rescore only the survivors (same proxy trick: ranking of
-                # max_c sigmoid == ranking of max_c logit)
+                # DEFAULT (reference ordering): top-k on raw cls scores
+                # first, rescore only the survivors (same proxy trick:
+                # ranking of max_c sigmoid == ranking of max_c logit)
                 k = min(nms_pre, n)
                 _, idx = jax.lax.top_k(
                     jnp.max(logits, axis=-1).astype(jnp.float32), k)
@@ -167,7 +172,7 @@ class IoUAwareRetinaHead(RetinaHead):
                           test_cfg):
         nms_pre = test_cfg.get("nms_pre", 1000)
         alpha = test_cfg.get("rescoring_alpha", 0.5)
-        before = test_cfg.get("rescore_before_topk", True)
+        before = test_cfg.get("rescore_before_topk", False)
         n_lvl = len(cls_scores)
 
         def single(img_shape, *flat):

