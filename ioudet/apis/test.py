@@ -24,17 +24,27 @@ from ..utils.logging import get_root_logger
 
 
 def make_predict_fn(detector, mesh=None):
-    def predict(params, img, img_shape, scale_factor, pad_shape):
-        return detector.apply({"params": params}, img, img_shape,
-                              scale_factor, pad_shape,
-                              method=detector.simple_test)
+    with_proposals = getattr(detector, "requires_proposals", False)
+
+    if with_proposals:  # FastRCNN family: pipeline proposals ride along
+        def predict(params, img, img_shape, scale_factor, pad_shape,
+                    proposals, prop_valid):
+            return detector.apply({"params": params}, img, img_shape,
+                                  scale_factor, pad_shape, proposals,
+                                  prop_valid, method=detector.simple_test)
+    else:
+        def predict(params, img, img_shape, scale_factor, pad_shape):
+            return detector.apply({"params": params}, img, img_shape,
+                                  scale_factor, pad_shape,
+                                  method=detector.simple_test)
 
     if mesh is None:
         return jax.jit(predict)
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(predict, in_shardings=(repl, data, data, data, data),
+    n_data_args = 6 if with_proposals else 4
+    return jax.jit(predict, in_shardings=(repl,) + (data,) * n_data_args,
                    out_shardings=(data, data))
 
 
@@ -73,10 +83,14 @@ def single_device_test(detector, params, dataset, imgs_per_batch: int = 8,
             img = pad(img)
             batch = {k: (pad(v) if isinstance(v, np.ndarray) else v)
                      for k, v in batch.items()}
+        extra = ()
+        if getattr(detector, "requires_proposals", False):
+            extra = (jnp.asarray(batch["proposals"]),
+                     jnp.asarray(batch["prop_valid"]))
         out = predict(params, jnp.asarray(img),
                       jnp.asarray(batch["img_shape"]),
                       jnp.asarray(batch["scale_factor"]),
-                      jnp.asarray(batch["pad_shape"]))
+                      jnp.asarray(batch["pad_shape"]), *extra)
         dets = np.asarray(out[0])
         labels = np.asarray(out[1])
         mask_probs = np.asarray(out[2]) if len(out) > 2 else None
@@ -299,21 +313,151 @@ def aug_test(detector, params, samples: List[dict], test_cfg) -> tuple:
     return np.asarray(dets), np.asarray(labels)
 
 
+_TTA_TWOSTAGE_CACHE: dict = {}
+
+
+def _tta_twostage_fns(detector):
+    """Jitted per-view primitives for two-stage TTA (proposal extraction,
+    raw R-CNN on supplied proposals, optional mask probs); jax.jit's shape
+    cache handles per-canvas retraces."""
+    key = id(detector)
+    if key not in _TTA_TWOSTAGE_CACHE:
+        @jax.jit
+        def prop_fn(params, img, img_shape, pad_shape):
+            return detector.apply({"params": params}, img, img_shape,
+                                  pad_shape,
+                                  method=detector.extract_proposals)
+
+        @jax.jit
+        def rcnn_fn(params, img, boxes, img_shape):
+            return detector.apply({"params": params}, img, boxes, img_shape,
+                                  method=detector.rcnn_test_raw)
+
+        mask_fn = None
+        if getattr(detector, "mask_head", None) is not None and \
+                hasattr(detector, "mask_test_boxes"):
+            @jax.jit
+            def mask_fn(params, img, boxes, labels):
+                return detector.apply({"params": params}, img, boxes, labels,
+                                      method=detector.mask_test_boxes)
+
+        _TTA_TWOSTAGE_CACHE[key] = (prop_fn, rcnn_fn, mask_fn)
+    return _TTA_TWOSTAGE_CACHE[key]
+
+
+def aug_test_two_stage(detector, params, samples: List[dict], test_cfg):
+    """Multi-scale/flip TTA for the two-stage family (ref:
+    mmdet/models/detectors/test_mixins.py (aug_test_bboxes, aug_test_mask) +
+    mmdet/core/post_processing/merge_augs.py).
+
+    1. each view's RPN proposals are mapped back to original-image space and
+       merged with one NMS (merge_aug_proposals);
+    2. the merged proposals are mapped INTO each view (bbox_mapping), the
+       R-CNN head scores/refines them per view, and the per-proposal boxes
+       and scores — aligned 1:1 across views — are mapped back and AVERAGED
+       (merge_aug_bboxes semantics), then one multiclass NMS runs;
+    3. mask detectors re-run the mask branch per view on the final
+       detections and average the box-frame probabilities
+       (merge_aug_masks), flipped views mirrored back.
+
+    Returns (dets, labels) or (dets, labels, mask_probs) as numpy.
+    """
+    from ..core.bbox.transforms import bbox_mapping
+    from ..core.post_processing import (merge_aug_bboxes_mean,
+                                        merge_aug_masks,
+                                        merge_aug_proposals)
+
+    cfg = dict(test_cfg)
+    rpn_cfg = dict(cfg.get("rpn", dict(nms_pre=1000, max_num=1000,
+                                       nms_thr=0.7)))
+    rcnn_cfg = dict(cfg.get("rcnn", dict(score_thr=0.05,
+                                         nms=dict(iou_thr=0.5),
+                                         max_per_img=100)))
+    prop_fn, rcnn_fn, mask_fn = _tta_twostage_fns(detector)
+
+    metas, imgs, shapes = [], [], []
+    aug_props = []
+    for s in samples:
+        img = jnp.asarray(s["img"])[None]
+        img_shape = jnp.asarray(s["img_shape"])
+        props = prop_fn(params, img, img_shape[None],
+                        jnp.asarray(s["pad_shape"])[None])
+        aug_props.append(props[0])
+        imgs.append(img)
+        shapes.append(img_shape)
+        metas.append(dict(img_shape=img_shape,
+                          scale_factor=float(s["scale_factor"]),
+                          flip=bool(s["flip"])))
+    merged = merge_aug_proposals(aug_props, metas, rpn_cfg)  # ori space
+    prop_valid = merged[:, 4] > 0
+
+    aug_scores, aug_boxes = [], []
+    for img, img_shape, meta in zip(imgs, shapes, metas):
+        view_boxes = bbox_mapping(merged[:, :4], meta["img_shape"],
+                                  meta["scale_factor"], meta["flip"])
+        scores, boxes = rcnn_fn(params, img, view_boxes[None],
+                                img_shape[None])
+        aug_scores.append(scores[0])
+        aug_boxes.append(boxes[0])
+    mboxes, mscores = merge_aug_bboxes_mean(aug_boxes, aug_scores, metas)
+    P, Cm1 = mscores.shape
+    dets, labels = multiclass_nms(
+        mboxes.reshape(P, Cm1 * 4), mscores,
+        score_thr=rcnn_cfg.get("score_thr", 0.05),
+        iou_thr=rcnn_cfg.get("nms", {}).get("iou_thr", 0.5),
+        max_per_img=rcnn_cfg.get("max_per_img", 100),
+        valid=prop_valid)
+
+    if mask_fn is None:
+        return np.asarray(dets), np.asarray(labels)
+
+    aug_masks = []
+    for img, meta in zip(imgs, metas):
+        view_boxes = bbox_mapping(dets[:, :4], meta["img_shape"],
+                                  meta["scale_factor"], meta["flip"])
+        probs = mask_fn(params, img, view_boxes[None],
+                        jnp.asarray(labels)[None])
+        aug_masks.append(probs[0])
+    masks = merge_aug_masks(aug_masks, metas)
+    return np.asarray(dets), np.asarray(labels), np.asarray(masks)
+
+
 def tta_test(detector, params, dataset, test_cfg,
              imgs_per_batch: int = 1) -> List[List[np.ndarray]]:
     """Multi-scale/flip TTA evaluation: the dataset's test pipeline wraps
     MultiScaleFlipAug, so each __getitem__ yields a LIST of per-view samples;
     views are decoded (jitted, canvas-cached), mapped back, merged, and
-    NMSed per image (ref: tools/test.py --aug flow + merge_aug_bboxes)."""
+    NMSed per image (ref: tools/test.py --aug flow + merge_aug_bboxes).
+    Dispatches to the two-stage merge (shared merged proposals, averaged
+    boxes/scores, averaged masks) when the detector has an RPN."""
     from ..core.bbox.transforms import bbox2result
 
-    num_classes = detector.bbox_head.num_classes
+    two_stage = hasattr(detector, "extract_proposals")
+    if two_stage:
+        heads = detector.bbox_head
+        num_classes = (heads[-1] if isinstance(heads, (list, tuple))
+                       else heads).num_classes
+    else:
+        num_classes = detector.bbox_head.num_classes
     results = []
     for idx in range(len(dataset)):
         samples = dataset[idx]
         assert isinstance(samples, list), "pipeline must yield TTA views"
-        dets, labels = aug_test(detector, params, samples, dict(test_cfg))
-        results.append(bbox2result(dets, labels, num_classes))
+        if two_stage:
+            out = aug_test_two_stage(detector, params, samples,
+                                     dict(test_cfg))
+        else:
+            out = aug_test(detector, params, samples, dict(test_cfg))
+        dets, labels = out[0], out[1]
+        bbox_res = bbox2result(dets, labels, num_classes)
+        if len(out) > 2:
+            ori = samples[0].get("ori_shape", samples[0]["img_shape"])
+            segm_res = masks_to_segm_result(dets, labels, out[2],
+                                            num_classes, int(ori[0]),
+                                            int(ori[1]))
+            results.append((bbox_res, segm_res))
+        else:
+            results.append(bbox_res)
     return results
 
 

@@ -183,3 +183,52 @@ class CascadeRCNN(nn.Module):
 
         return jax.vmap(single)(boxes, scores, img_shapes, scale_factors,
                                 prop_valid)
+
+    # ------------------------------------------------------ TTA building blocks
+
+    def extract_proposals(self, img, img_shapes, pad_shapes):
+        """Per-view RPN proposals in VIEW coordinates (ref:
+        CascadeRCNN.aug_test proposal stage)."""
+        cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(cfg.get("rpn", dict(nms_pre=1000, max_num=1000,
+                                           nms_thr=0.7)))
+        feats = self.extract_feat(img)
+        outs = self.rpn_head(feats)
+        test_cfg2 = dict(nms_pre=rpn_cfg.get("nms_pre", 1000), score_thr=0.0,
+                         nms=dict(iou_thr=rpn_cfg.get("nms_thr", 0.7)),
+                         max_per_img=rpn_cfg.get("max_num", 1000))
+        props, _ = self.rpn_head.get_bboxes(
+            *outs, img_shapes, jnp.ones((img.shape[0],), jnp.float32),
+            pad_shapes, test_cfg2, rescale=False)
+        return props
+
+    def rcnn_test_raw(self, img, prop_boxes, img_shapes):
+        """Full cascade refinement on externally supplied proposals — per
+        proposal, averaged stage scores and the final refined box broadcast
+        per class, in VIEW coordinates, NO NMS (ref: CascadeRCNN.aug_test:
+        stage loop + ms_scores mean per view, merged afterwards).
+
+        prop_boxes: (B, P, 4).  Returns (scores (B, P, C-1),
+        boxes (B, P, C-1, 4))."""
+        feats = self.extract_feat(img)
+        B, P = prop_boxes.shape[:2]
+        boxes = prop_boxes
+        ms_scores = []
+        for stage in range(self.num_stages):
+            head = self.bbox_head[stage]
+            rois = TwoStageDetector._to_rois(boxes)
+            roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+            cls_score, bbox_pred = head(roi_feats)
+            ms_scores.append(jax.nn.softmax(cls_score.astype(jnp.float32),
+                                            axis=-1))
+            pred_labels = jnp.argmax(cls_score, axis=-1)
+            refined = self._decode_stage(head, rois[:, 1:], bbox_pred,
+                                         pred_labels)
+            boxes = refined.reshape(B, P, 4)
+        num_classes = self.bbox_head[-1].num_classes
+        scores = (sum(ms_scores) / self.num_stages)[:, 1:]
+        scores = scores.reshape(B, P, num_classes - 1)
+        bb = jnp.broadcast_to(boxes[:, :, None, :],
+                              (B, P, num_classes - 1, 4))
+        bb = jax.vmap(clip_boxes)(bb, img_shapes)
+        return scores, bb

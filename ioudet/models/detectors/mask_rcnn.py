@@ -119,3 +119,19 @@ class MaskRCNN(TwoStageDetector):
         B, N = labels.shape
         masks = per_det.reshape(B, N, mask_pred.shape[1], mask_pred.shape[2])
         return dets, labels, masks
+
+    def mask_test_boxes(self, img, boxes, labels):
+        """Box-frame mask probabilities for externally supplied detections
+        in VIEW coordinates — the per-view primitive of mask TTA (ref:
+        test_mixins.py (aug_test_mask)).  boxes (B, N, 4), labels (B, N);
+        returns (B, N, S, S) sigmoid probs for each detection's label."""
+        feats = self.extract_feat(img)
+        rois = self._to_rois(boxes)
+        mask_feats = self.mask_roi_extractor(feats[:4], rois)
+        mask_pred = jax.nn.sigmoid(self.mask_head(mask_feats))
+        C = mask_pred.shape[-1]
+        lab = jnp.clip(labels.reshape(-1), 0, C - 1)
+        per_det = jnp.take_along_axis(mask_pred, lab[:, None, None, None],
+                                      axis=-1)[..., 0]
+        B, N = labels.shape
+        return per_det.reshape(B, N, mask_pred.shape[1], mask_pred.shape[2])

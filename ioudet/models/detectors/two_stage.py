@@ -277,6 +277,46 @@ class TwoStageDetector(nn.Module):
                           self.bbox_head.target_means,
                           self.bbox_head.target_stds)
 
+    # ------------------------------------------------------ TTA building blocks
+    # (ref: mmdet/models/detectors/test_mixins.py (aug_test_bboxes) — per-view
+    # primitives; the host-side orchestration lives in apis/test.py
+    # aug_test_two_stage.)
+
+    def extract_proposals(self, img, img_shapes, pad_shapes):
+        """Per-view RPN proposals in VIEW coordinates, (B, max_num, 5)."""
+        cfg = dict(self.test_cfg or {})
+        rpn_cfg = dict(cfg.get("rpn", dict(nms_pre=1000, max_num=1000,
+                                           nms_thr=0.7)))
+        feats = self.extract_feat(img)
+        outs = self.rpn_head(feats)
+        test_cfg2 = dict(nms_pre=rpn_cfg.get("nms_pre", 1000), score_thr=0.0,
+                         nms=dict(iou_thr=rpn_cfg.get("nms_thr", 0.7)),
+                         max_per_img=rpn_cfg.get("max_num", 1000))
+        props, _ = self.rpn_head.get_bboxes(
+            *outs, img_shapes, jnp.ones((img.shape[0],), jnp.float32),
+            pad_shapes, test_cfg2, rescale=False)
+        return props
+
+    def rcnn_test_raw(self, img, prop_boxes, img_shapes):
+        """R-CNN head on externally supplied proposals — per-proposal
+        softmax scores and class-specific decoded boxes in VIEW
+        coordinates, clipped, NO NMS (the reference's get_det_bboxes with
+        cfg=None used by aug_test_bboxes).
+
+        prop_boxes: (B, P, 4).  Returns (scores (B, P, C-1),
+        boxes (B, P, C-1, 4))."""
+        feats = self.extract_feat(img)
+        B, P = prop_boxes.shape[:2]
+        rois = self._to_rois(prop_boxes)
+        roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+        cls_score, bbox_pred = self.bbox_head(roi_feats)
+        num_classes = self.bbox_head.num_classes
+        scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)[:, 1:]
+        boxes = self._decode_rcnn(rois, bbox_pred, num_classes)
+        boxes = boxes.reshape(B, P, num_classes, 4)[:, :, 1:, :]
+        boxes = jax.vmap(clip_boxes)(boxes, img_shapes)
+        return scores.reshape(B, P, num_classes - 1), boxes
+
 
 @DETECTORS.register_module
 class FasterRCNN(TwoStageDetector):
