@@ -169,11 +169,16 @@ def make_train_step(detector, tx: optax.GradientTransformation,
         def loss_fn(params):
             args = [batch["img"], batch["gt_bboxes"], batch["gt_labels"],
                     batch["gt_valid"], batch["img_shape"], batch["pad_shape"]]
-            if "gt_masks" in batch:  # mask-branch detectors
-                args.append(batch["gt_masks"])
             kwargs = {}
+            if "proposals" in batch:  # FastRCNN family (pipeline proposals)
+                kwargs["proposals"] = batch["proposals"]
+                kwargs["prop_valid"] = batch["prop_valid"]
+                if "gt_masks" in batch:
+                    kwargs["gt_masks"] = batch["gt_masks"]
+            elif "gt_masks" in batch:  # mask-branch detectors
+                args.append(batch["gt_masks"])
             if "gt_bboxes_ignore" in batch:  # crowd/ignore regions
-                kwargs = dict(gt_bboxes_ignore=batch["gt_bboxes_ignore"],
+                kwargs.update(gt_bboxes_ignore=batch["gt_bboxes_ignore"],
                               gt_ignore_valid=batch["gt_ignore_valid"])
             if "gt_semantic_seg" in batch:  # HTC semantic branch
                 kwargs["gt_semantic_seg"] = batch["gt_semantic_seg"]
@@ -310,7 +315,8 @@ class Runner:
     def _to_device(self, batch):
         keep = ("img", "gt_bboxes", "gt_labels", "gt_valid", "img_shape",
                 "pad_shape", "gt_masks", "gt_bboxes_ignore",
-                "gt_ignore_valid", "gt_semantic_seg")
+                "gt_ignore_valid", "gt_semantic_seg", "proposals",
+                "prop_valid")
         batch = {k: batch[k] for k in keep if k in batch}
         if self.mesh is not None:
             return shard_batch(self.mesh, batch)
@@ -360,9 +366,14 @@ def train_detector(detector, dataset, cfg, work_dir: str,
                  jnp.asarray(sample["gt_valid"][:1]),
                  jnp.asarray(sample["img_shape"][:1]),
                  jnp.asarray(sample["pad_shape"][:1])]
-    if "gt_masks" in sample:
-        init_args.append(jnp.asarray(sample["gt_masks"][:1]))
     init_kwargs = {}
+    if "proposals" in sample:  # FastRCNN family
+        init_kwargs["proposals"] = jnp.asarray(sample["proposals"][:1])
+        init_kwargs["prop_valid"] = jnp.asarray(sample["prop_valid"][:1])
+        if "gt_masks" in sample:
+            init_kwargs["gt_masks"] = jnp.asarray(sample["gt_masks"][:1])
+    elif "gt_masks" in sample:
+        init_args.append(jnp.asarray(sample["gt_masks"][:1]))
     if "gt_semantic_seg" in sample:
         init_kwargs["gt_semantic_seg"] = jnp.asarray(
             sample["gt_semantic_seg"][:1])

@@ -29,7 +29,8 @@ class CustomDataset:
     CLASSES: Optional[tuple] = None
 
     def __init__(self, ann_file: str, pipeline, img_prefix: str = "",
-                 seg_prefix: str = "", test_mode: bool = False,
+                 seg_prefix: str = "", proposal_file: Optional[str] = None,
+                 test_mode: bool = False,
                  filter_empty_gt: bool = True,
                  min_size: int = 32, classes=None, **kwargs):
         self.ann_file = ann_file
@@ -40,9 +41,17 @@ class CustomDataset:
         if classes is not None:
             self.CLASSES = tuple(classes)
         self.img_infos = self.load_annotations(ann_file)
+        # precomputed proposals for the FastRCNN family (ref: CustomDataset
+        # proposal_file + load_proposals): one (n, 4|5) array per image,
+        # aligned with load_annotations order — loaded BEFORE _filter_imgs
+        # so the same filtering applies to both lists
+        self.proposals = (self.load_proposals(proposal_file)
+                          if proposal_file else None)
         if not test_mode:
             valid = self._filter_imgs(min_size)
             self.img_infos = [self.img_infos[i] for i in valid]
+            if self.proposals is not None:
+                self.proposals = [self.proposals[i] for i in valid]
         self._set_group_flag()
         self.pipeline = Compose(pipeline)
 
@@ -55,6 +64,18 @@ class CustomDataset:
 
     def get_ann_info(self, idx: int) -> dict:
         return self.img_infos[idx]["ann"]
+
+    @staticmethod
+    def load_proposals(proposal_file: str):
+        """ref: mmcv.load of the reference's .pkl proposal lists; .npy
+        (object array) is also accepted here."""
+        if proposal_file.endswith((".pkl", ".pickle")):
+            import pickle
+            with open(proposal_file, "rb") as f:
+                return pickle.load(f)
+        if proposal_file.endswith(".npy"):
+            return list(np.load(proposal_file, allow_pickle=True))
+        raise ValueError(f"unsupported proposal file {proposal_file}")
 
     # ---- shared machinery --------------------------------------------------
 
@@ -87,11 +108,15 @@ class CustomDataset:
                        ann_info=self.get_ann_info(idx),
                        img_prefix=self.img_prefix,
                        seg_prefix=self.seg_prefix, idx=idx)
+        if self.proposals is not None:
+            results["proposals"] = self.proposals[idx]
         return self.pipeline(results)
 
     def prepare_test_img(self, idx: int):
         results = dict(img_info=self.img_infos[idx],
                        img_prefix=self.img_prefix, idx=idx)
+        if self.proposals is not None:
+            results["proposals"] = self.proposals[idx]
         return self.pipeline(results)
 
     def __getitem__(self, idx: int):

@@ -106,12 +106,35 @@ class LoadAnnotations:
 
 @PIPELINES.register_module
 class LoadProposals:
+    """ref: mmdet/datasets/pipelines/loading.py (LoadProposals).
+
+    Truncates to ``num_max_proposals`` and — fixed-shape departure — also
+    ZERO-PADS to that count, emitting a ``prop_valid`` mask so the
+    precomputed-proposal detectors (FastRCNN) see a static (P, 4) tensor.
+    A trailing score column (the reference accepts (n, 5)) is dropped after
+    score-descending sort, like the reference's usage."""
+
     def __init__(self, num_max_proposals: int | None = None):
         self.num_max_proposals = num_max_proposals
 
     def __call__(self, results: dict) -> dict:
-        proposals = results["proposals"]
+        proposals = np.asarray(results["proposals"], np.float32)
+        if proposals.ndim != 2 or proposals.shape[1] not in (4, 5):
+            raise ValueError(
+                f"proposals must be (n, 4|5), got {proposals.shape}")
+        if proposals.shape[1] == 5:
+            proposals = proposals[np.argsort(-proposals[:, 4],
+                                             kind="stable")][:, :4]
         if self.num_max_proposals is not None:
             proposals = proposals[: self.num_max_proposals]
-        results["proposals"] = proposals.astype(np.float32)
+            n = len(proposals)
+            padded = np.zeros((self.num_max_proposals, 4), np.float32)
+            padded[:n] = proposals
+            valid = np.zeros((self.num_max_proposals,), bool)
+            valid[:n] = True
+            results["proposals"] = padded
+            results["prop_valid"] = valid
+        else:
+            results["proposals"] = proposals
+            results["prop_valid"] = np.ones((len(proposals),), bool)
         return results

@@ -102,6 +102,8 @@ class Resize:
             results["gt_bboxes"] = results["gt_bboxes"] * factor
         if "gt_bboxes_ignore" in results and len(results["gt_bboxes_ignore"]):
             results["gt_bboxes_ignore"] = results["gt_bboxes_ignore"] * factor
+        if "proposals" in results and len(results["proposals"]):
+            results["proposals"] = results["proposals"] * factor
         if "gt_semantic_seg" in results:  # label map: nearest, no interp
             results["gt_semantic_seg"] = imresize_nearest(
                 results["gt_semantic_seg"], (nh, nw))
@@ -122,11 +124,13 @@ class RandomFlip:
         if flip:
             results["img"] = np.ascontiguousarray(results["img"][:, ::-1])
             h, w = results["img_shape"]
-            for key in ("gt_bboxes", "gt_bboxes_ignore"):
+            for key in ("gt_bboxes", "gt_bboxes_ignore", "proposals"):
                 if key in results and len(results[key]):
                     b = results[key].copy()
                     b[:, 0] = w - results[key][:, 2] - 1
                     b[:, 2] = w - results[key][:, 0] - 1
+                    if key == "proposals" and "prop_valid" in results:
+                        b[~results["prop_valid"]] = 0.0  # keep pads at 0
                     results[key] = b
             if "gt_masks" in results and len(results["gt_masks"]):
                 # box-frame masks mirror with their box

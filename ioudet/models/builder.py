@@ -78,13 +78,16 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                 build_neck(_with_dtype(n)) for n in neck_cfg))
         else:
             parts["neck"] = build_neck(_with_dtype(neck_cfg))
-    if "bbox_head" in cfg and "rpn_head" not in cfg:
+    # single-stage: bare bbox_head, no RoI machinery
+    if ("bbox_head" in cfg and "rpn_head" not in cfg
+            and "bbox_roi_extractor" not in cfg):
         parts["bbox_head"] = build_head(_with_dtype(cfg.pop("bbox_head")))
+    # RoI-based families (two-stage, cascade, FastRCNN w/o RPN)
     if "rpn_head" in cfg:
         parts["rpn_head"] = build_head(_with_dtype(cfg.pop("rpn_head")))
-        if "bbox_roi_extractor" in cfg:
-            parts["bbox_roi_extractor"] = build_roi_extractor(
-                cfg.pop("bbox_roi_extractor"))
+    if "bbox_roi_extractor" in cfg:
+        parts["bbox_roi_extractor"] = build_roi_extractor(
+            cfg.pop("bbox_roi_extractor"))
         if "bbox_head" in cfg:
             hc = cfg.pop("bbox_head")
             if isinstance(hc, (list, tuple)):  # cascade: one head per stage
