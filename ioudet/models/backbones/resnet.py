@@ -25,13 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from ..registry import BACKBONES
-from ..utils.layers import build_norm
+from ..utils.layers import build_norm, conv_class
 
 _KINIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def _norm(norm_cfg, features, dtype, name):
-    return build_norm(norm_cfg or {"type": "FrozenBN"}, features, dtype, name)
+def _norm(norm_cfg, features, dtype, name, scale_init=None):
+    return build_norm(norm_cfg or {"type": "FrozenBN"}, features, dtype, name,
+                      scale_init=scale_init)
 
 
 class _StemS2DConv(nn.Module):
@@ -71,24 +72,29 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
+    zero_init_residual: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        Conv = conv_class(self.conv_cfg)
         identity = x
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      padding=1, use_bias=False, dtype=self.dtype,
-                      kernel_init=_KINIT, name="conv1")(x)
+        out = Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+                   padding=1, use_bias=False, dtype=self.dtype,
+                   kernel_init=_KINIT, name="conv1")(x)
         out = _norm(self.norm_cfg, self.planes, self.dtype, "bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      dtype=self.dtype, kernel_init=_KINIT, name="conv2")(out)
-        out = _norm(self.norm_cfg, self.planes, self.dtype, "bn2")(out)
+        out = Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                   dtype=self.dtype, kernel_init=_KINIT, name="conv2")(out)
+        out = _norm(self.norm_cfg, self.planes, self.dtype, "bn2",
+                    scale_init=nn.initializers.zeros
+                    if self.zero_init_residual else None)(out)
         if self.downsample:
-            identity = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, dtype=self.dtype,
-                               kernel_init=_KINIT, name="downsample_conv")(x)
+            identity = Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                            use_bias=False, dtype=self.dtype,
+                            kernel_init=_KINIT, name="downsample_conv")(x)
             identity = _norm(self.norm_cfg, self.planes, self.dtype,
                              "downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -101,7 +107,9 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 4   # only read when groups > 1 (ResNeXt)
     expansion: int = 4
+    conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
+    zero_init_residual: bool = False
     with_dcn: bool = False      # deformable 3x3 (ref: configs/dcn/* "dcn")
     dcn_modulated: bool = False  # DCNv2 (modulated)
     with_gcb: bool = False      # global-context block after conv3 (gcb)
@@ -116,9 +124,10 @@ class Bottleneck(nn.Module):
             width = int((self.planes * (self.base_width / 64.0)) * self.groups)
         out_ch = self.planes * self.expansion
         identity = x
+        Conv = conv_class(self.conv_cfg)
 
-        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                      kernel_init=_KINIT, name="conv1")(x)
+        out = Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
+                   kernel_init=_KINIT, name="conv1")(x)
         out = _norm(self.norm_cfg, width, self.dtype, "bn1")(out)
         out = nn.relu(out)
         if self.with_dcn:
@@ -138,23 +147,25 @@ class Bottleneck(nn.Module):
                                 mask=mask, stride=self.stride)
         else:
             # 'pytorch' style: stride lives on the 3x3
-            out = nn.Conv(width, (3, 3), strides=(self.stride,) * 2, padding=1,
-                          feature_group_count=self.groups, use_bias=False,
-                          dtype=self.dtype, kernel_init=_KINIT,
-                          name="conv2")(out)
+            out = Conv(width, (3, 3), strides=(self.stride,) * 2, padding=1,
+                       feature_group_count=self.groups, use_bias=False,
+                       dtype=self.dtype, kernel_init=_KINIT,
+                       name="conv2")(out)
         out = _norm(self.norm_cfg, width, self.dtype, "bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                      kernel_init=_KINIT, name="conv3")(out)
-        out = _norm(self.norm_cfg, out_ch, self.dtype, "bn3")(out)
+        out = Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                   kernel_init=_KINIT, name="conv3")(out)
+        out = _norm(self.norm_cfg, out_ch, self.dtype, "bn3",
+                    scale_init=nn.initializers.zeros
+                    if self.zero_init_residual else None)(out)
         if self.with_gcb:
             from ..plugins import ContextBlock
             out = ContextBlock(dtype=self.dtype, name="context_block")(out)
 
         if self.downsample:
-            identity = nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
-                               use_bias=False, dtype=self.dtype,
-                               kernel_init=_KINIT, name="downsample_conv")(x)
+            identity = Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                            use_bias=False, dtype=self.dtype,
+                            kernel_init=_KINIT, name="downsample_conv")(x)
             identity = _norm(self.norm_cfg, out_ch, self.dtype,
                              "downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -184,7 +195,11 @@ class ResNet(nn.Module):
     frozen_stages: int = -1
     groups: int = 1
     base_width: int = 4
+    conv_cfg: Optional[dict] = None  # dict(type="ConvWS") -> gn+ws family
     norm_cfg: Optional[dict] = None
+    # ref: ResNet(zero_init_residual): zero the last norm scale per block so
+    # residual branches start as identity (scratch/GN training aid)
+    zero_init_residual: bool = False
     # per-stage plugin injection (ref: ResNet(dcn=..., stage_with_dcn=...,
     # gcb=..., stage_with_gcb=...) used by configs/dcn/* and configs/gcb/*)
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
@@ -205,14 +220,15 @@ class ResNet(nn.Module):
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = stage_blocks[: self.num_stages]
 
-        if self.stem_space_to_depth and x.shape[1] % 2 == 0 \
-                and x.shape[2] % 2 == 0:
+        if self.stem_space_to_depth and self.conv_cfg is None \
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             # param tree stays conv1/kernel (7,7,C,64): converters unchanged
             x = _StemS2DConv(dtype=self.dtype, name="conv1")(x)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
-                        use_bias=False, dtype=self.dtype, kernel_init=_KINIT,
-                        name="conv1")(x)
+            x = conv_class(self.conv_cfg)(
+                64, (7, 7), strides=(2, 2), padding=3,
+                use_bias=False, dtype=self.dtype, kernel_init=_KINIT,
+                name="conv1")(x)
         x = _norm(self.norm_cfg, 64, self.dtype, "bn1")(x)
         x = nn.relu(x)
         # torch maxpool(3, 2, pad=1): explicit -inf pad then VALID window
@@ -238,7 +254,10 @@ class ResNet(nn.Module):
                                  dcn_modulated=self.dcn_modulated,
                                  with_gcb=self.stage_with_gcb[i])
                 x = block_cls(planes=planes, stride=stride, downsample=downsample,
-                              norm_cfg=self.norm_cfg, dtype=self.dtype,
+                              conv_cfg=self.conv_cfg,
+                              norm_cfg=self.norm_cfg,
+                              zero_init_residual=self.zero_init_residual,
+                              dtype=self.dtype,
                               name=f"layer{i + 1}_{j}", **extra)(x, train)
                 in_ch = out_ch
             if i + 1 <= self.frozen_stages:

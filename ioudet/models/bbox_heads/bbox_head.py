@@ -75,12 +75,19 @@ class ConvFCBBoxHead(BBoxHead):
     num_shared_convs: int = 0
     num_shared_fcs: int = 2
     fc_out_channels: int = 1024
+    conv_out_channels: int = 256
+    # conv_cfg=dict(type="ConvWS") + norm_cfg=dict(type="GN") -> the
+    # reference's gn / gn+ws "4conv1fc" heads (ref: configs/gn/, configs/gn+ws/)
+    conv_cfg: Any = None
+    norm_cfg: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..utils.layers import ConvModule
         for i in range(self.num_shared_convs):
-            x = nn.relu(nn.Conv(self.in_channels, (3, 3), padding=1,
-                                dtype=self.dtype, name=f"shared_conv{i}")(x))
+            x = ConvModule(self.conv_out_channels, (3, 3), padding=1,
+                           conv_cfg=self.conv_cfg, norm_cfg=self.norm_cfg,
+                           dtype=self.dtype, name=f"shared_conv{i}")(x, train)
         feat = x.reshape(x.shape[0], -1)
         for i in range(self.num_shared_fcs):
             feat = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,

@@ -21,14 +21,25 @@ class FCNMaskHead(nn.Module):
     in_channels: int = 256
     conv_out_channels: int = 256
     num_classes: int = 81
+    # gn / gn+ws family support (ref: configs/gn/ mask heads carry GN)
+    conv_cfg: Any = None
+    norm_cfg: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..utils.layers import ConvModule, conv_class
         for i in range(self.num_convs):
-            x = nn.relu(nn.Conv(self.conv_out_channels, (3, 3), padding=1,
-                                kernel_init=_CONV_INIT, dtype=self.dtype,
-                                name=f"conv{i}")(x))
+            if self.conv_cfg is None and self.norm_cfg is None:
+                x = nn.relu(nn.Conv(self.conv_out_channels, (3, 3),
+                                    padding=1, kernel_init=_CONV_INIT,
+                                    dtype=self.dtype, name=f"conv{i}")(x))
+            else:
+                x = ConvModule(self.conv_out_channels, (3, 3), padding=1,
+                               conv_cfg=self.conv_cfg,
+                               norm_cfg=self.norm_cfg,
+                               kernel_init=_CONV_INIT, dtype=self.dtype,
+                               name=f"conv{i}")(x, train)
         x = nn.relu(nn.ConvTranspose(self.conv_out_channels, (2, 2),
                                      strides=(2, 2), dtype=self.dtype,
                                      name="upsample")(x))

@@ -32,6 +32,7 @@ class FPN(nn.Module):
     add_extra_convs: bool = False
     extra_convs_on_inputs: bool = True
     relu_before_extra_convs: bool = False
+    conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     act: Optional[str] = None
     dtype: Any = jnp.float32
@@ -44,7 +45,8 @@ class FPN(nn.Module):
 
         # lateral 1x1s
         laterals = [
-            ConvModule(self.out_channels, (1, 1), norm_cfg=self.norm_cfg,
+            ConvModule(self.out_channels, (1, 1), conv_cfg=self.conv_cfg,
+                       norm_cfg=self.norm_cfg,
                        act=self.act, dtype=self.dtype, kernel_init=_XAVIER,
                        name=f"lateral_{i}")(x, train)
             for i, x in enumerate(used)
@@ -55,7 +57,8 @@ class FPN(nn.Module):
                 laterals[i], laterals[i - 1].shape[1:3])
         # output 3x3s
         outs = [
-            ConvModule(self.out_channels, (3, 3), norm_cfg=self.norm_cfg,
+            ConvModule(self.out_channels, (3, 3), conv_cfg=self.conv_cfg,
+                       norm_cfg=self.norm_cfg,
                        act=self.act, dtype=self.dtype, kernel_init=_XAVIER,
                        name=f"fpn_{i}")(laterals[i], train)
             for i in range(len(laterals))
@@ -73,6 +76,7 @@ class FPN(nn.Module):
                     if i > 0 and self.relu_before_extra_convs:
                         src = nn.relu(src)
                     src = ConvModule(self.out_channels, (3, 3), strides=(2, 2),
+                                     conv_cfg=self.conv_cfg,
                                      norm_cfg=self.norm_cfg, act=None,
                                      dtype=self.dtype, kernel_init=_XAVIER,
                                      name=f"extra_{i}")(src, train)

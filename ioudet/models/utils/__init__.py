@@ -1,5 +1,7 @@
-from .layers import (ConvModule, FrozenBatchNorm, Scale, bias_init_with_prob,
-                     build_norm, resize_nearest)
+from .layers import (ConvModule, ConvWS, FrozenBatchNorm, Scale,
+                     bias_init_with_prob, build_norm, conv_class,
+                     resize_nearest)
 
-__all__ = ["ConvModule", "FrozenBatchNorm", "Scale", "bias_init_with_prob",
-           "build_norm", "resize_nearest"]
+__all__ = ["ConvModule", "ConvWS", "FrozenBatchNorm", "Scale",
+           "bias_init_with_prob", "build_norm", "conv_class",
+           "resize_nearest"]

@@ -37,10 +37,11 @@ class FrozenBatchNorm(nn.Module):
     features: int
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        scale = self.param("scale", self.scale_init, (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         mean = self.param("mean", nn.initializers.zeros, (self.features,), jnp.float32)
         var = self.param("var", nn.initializers.ones, (self.features,), jnp.float32)
@@ -52,22 +53,26 @@ class FrozenBatchNorm(nn.Module):
 
 
 def build_norm(norm_cfg: Optional[dict], features: int, dtype=jnp.float32,
-               name: Optional[str] = None):
+               name: Optional[str] = None, scale_init=None):
     """Norm factory keyed by config ``type`` (ref: build_norm_layer).
     Supported: BN (train-mode), FrozenBN, GN, SyncBN (== BN under pjit —
-    batch stats reduce over the global batch via the mesh), None."""
+    batch stats reduce over the global batch via the mesh), None.
+    ``scale_init`` overrides the affine scale init (zero_init_residual)."""
     if norm_cfg is None:
         return None
     t = norm_cfg["type"]
+    si = scale_init or nn.initializers.ones
     if t in ("BN", "SyncBN"):
         return nn.BatchNorm(use_running_average=norm_cfg.get("eval", False),
                             momentum=0.9, epsilon=1e-5, dtype=dtype, name=name,
+                            scale_init=si,
                             axis_name=norm_cfg.get("axis_name"))
     if t == "FrozenBN":
-        return FrozenBatchNorm(features=features, dtype=dtype, name=name)
+        return FrozenBatchNorm(features=features, dtype=dtype, name=name,
+                               scale_init=si)
     if t == "GN":
         return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
-                            dtype=dtype, name=name)
+                            dtype=dtype, name=name, scale_init=si)
     raise KeyError(f"unknown norm type {t}")
 
 
@@ -77,6 +82,71 @@ _ACTS = {
     "gelu": nn.gelu,
     None: None,
 }
+
+
+class ConvWS(nn.Conv):
+    """Weight-standardized convolution (ref: mmdet/models/utils/conv_ws.py
+    (ConvWS2d, conv_ws_2d); "Micro-Batch Training with Batch-Channel
+    Normalization and Weight Standardization").
+
+    The kernel is standardized — zero mean, unit std over (H, W, I) per
+    OUTPUT channel — before the convolution; always paired with GN in the
+    reference's gn+ws configs.  Parameter names/shapes match nn.Conv
+    ("kernel" HWIO, "bias"), so checkpoints interchange freely.
+    """
+
+    ws_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 2
+        kh_kw = (tuple(self.kernel_size) if not isinstance(
+            self.kernel_size, int) else (self.kernel_size,) * ndim)
+        in_features = x.shape[-1]
+        kernel_shape = kh_kw + (in_features // self.feature_group_count,
+                                self.features)
+        kernel = self.param("kernel", self.kernel_init, kernel_shape,
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        k32 = kernel.astype(jnp.float32)
+        red = tuple(range(k32.ndim - 1))  # (H, W, I)
+        mean = jnp.mean(k32, axis=red, keepdims=True)
+        std = jnp.std(k32, axis=red, keepdims=True)
+        kernel = ((k32 - mean) / (std + self.ws_eps)).astype(
+            self.dtype or kernel.dtype)
+
+        strides = self.strides or (1,) * ndim
+        if isinstance(strides, int):
+            strides = (strides,) * ndim
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = tuple((pad, pad) for _ in kh_kw)
+        elif isinstance(pad, (list, tuple)) and pad and \
+                isinstance(pad[0], int):
+            pad = tuple((p, p) for p in pad)
+        dil = self.kernel_dilation or (1,) * ndim
+        if isinstance(dil, int):
+            dil = (dil,) * ndim
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype or x.dtype), kernel,
+            window_strides=strides, padding=pad, rhs_dilation=dil,
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def conv_class(conv_cfg: Optional[dict]):
+    """Conv factory keyed by config ``type`` (ref: build_conv_layer):
+    None/"Conv" -> nn.Conv, "ConvWS" -> weight-standardized."""
+    t = (conv_cfg or {}).get("type", "Conv")
+    if t == "Conv":
+        return nn.Conv
+    if t == "ConvWS":
+        return ConvWS
+    raise KeyError(f"unknown conv type {t}")
 
 
 class ConvModule(nn.Module):
@@ -91,6 +161,7 @@ class ConvModule(nn.Module):
     padding: Any = "SAME"
     groups: int = 1
     use_bias: Optional[bool] = None
+    conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     act: Optional[str] = "relu"
     dtype: Any = jnp.float32
@@ -100,10 +171,11 @@ class ConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_bias = self.use_bias if self.use_bias is not None else self.norm_cfg is None
-        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding=self.padding, feature_group_count=self.groups,
-                    use_bias=use_bias, dtype=self.dtype,
-                    kernel_init=self.kernel_init, name="conv")(x)
+        conv_cls = conv_class(self.conv_cfg)
+        x = conv_cls(self.features, self.kernel_size, strides=self.strides,
+                     padding=self.padding, feature_group_count=self.groups,
+                     use_bias=use_bias, dtype=self.dtype,
+                     kernel_init=self.kernel_init, name="conv")(x)
         norm = build_norm(self.norm_cfg, self.features, self.dtype, name="norm")
         if norm is not None:
             if isinstance(norm, nn.BatchNorm):
