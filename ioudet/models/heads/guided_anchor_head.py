@@ -65,9 +65,14 @@ class GuidedAnchorHead(AnchorHead):
     center_ratio: float = 0.2
     ignore_ratio: float = 0.5
 
-    # squares: one base anchor per cell at octave_base_scale * stride
+    # squares: one base anchor per cell, size octave_base_scale * stride,
+    # CENTERED on the cell like every other anchor (ref: GuidedAnchorHead
+    # __init__ builds AnchorGenerator(anchor_base, [octave_base_scale],
+    # [1.0]) — base_size=stride keeps the (stride-1)/2 center; passing the
+    # product as base_size shifted every square by (scale-1)*stride/2,
+    # caught by tests/test_guided_anchor_golden.py)
     def square_generators(self):
-        return [AnchorGenerator(self.octave_base_scale * s, [1.0], [1.0])
+        return [AnchorGenerator(s, [float(self.octave_base_scale)], [1.0])
                 for s in self.anchor_strides]
 
     def approx_generators(self):
@@ -214,14 +219,21 @@ class GuidedAnchorHead(AnchorHead):
         A = self.num_approx
         C = squares.shape[0]
 
+        # shape-branch assigner thresholds (ref: train_cfg.ga_assigner =
+        # ApproxMaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4,
+        # min_pos_iou=0.0) in the ga configs)
+        ga_cfg = dict(train_cfg.get("ga_assigner", {}))
+
         def assign_one(gb, gv):
             # ApproxMaxIoUAssigner: per-cell IoU = max over its A approxs
             ious = bbox_overlaps(gb, approxs)              # (G, C*A)
             ious = ious.reshape(gb.shape[0], C, A).max(-1)  # (G, C)
             from ...core.bbox.assigners import assign_max_iou
-            res = assign_max_iou(ious, gv, jnp.ones((C,), bool), None,
-                                 pos_iou_thr=0.5, neg_iou_thr=0.4,
-                                 min_pos_iou=0.0)
+            res = assign_max_iou(
+                ious, gv, jnp.ones((C,), bool), None,
+                pos_iou_thr=ga_cfg.get("pos_iou_thr", 0.5),
+                neg_iou_thr=ga_cfg.get("neg_iou_thr", 0.4),
+                min_pos_iou=ga_cfg.get("min_pos_iou", 0.0))
             pos = res.gt_inds > 0
             safe = jnp.clip(res.gt_inds - 1, 0, gb.shape[0] - 1)
             return pos, gb[safe]
