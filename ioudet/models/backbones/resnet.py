@@ -113,6 +113,9 @@ class Bottleneck(nn.Module):
     with_dcn: bool = False      # deformable 3x3 (ref: configs/dcn/* "dcn")
     dcn_modulated: bool = False  # DCNv2 (modulated)
     with_gcb: bool = False      # global-context block after conv3 (gcb)
+    # GeneralizedAttention after conv2 (ref: configs/empirical_attention/*:
+    # Bottleneck(gen_attention=...) applied post-norm2-relu, pre-conv3)
+    gen_attention: Optional[dict] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -153,6 +156,12 @@ class Bottleneck(nn.Module):
                        name="conv2")(out)
         out = _norm(self.norm_cfg, width, self.dtype, "bn2")(out)
         out = nn.relu(out)
+        if self.gen_attention is not None:
+            from ..plugins import GeneralizedAttention
+            out = GeneralizedAttention(
+                **{k: v for k, v in dict(self.gen_attention).items()
+                   if k != "type"},
+                dtype=self.dtype, name="gen_attention_block")(out)
         out = Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                    kernel_init=_KINIT, name="conv3")(out)
         out = _norm(self.norm_cfg, out_ch, self.dtype, "bn3",
@@ -205,6 +214,10 @@ class ResNet(nn.Module):
     stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     dcn_modulated: bool = False
     stage_with_gcb: Tuple[bool, ...] = (False, False, False, False)
+    # per-stage BLOCK-index tuples (ref: stage_with_gen_attention =
+    # [[], [], [0, 1, 2, 3, 4, 5], [0, 1, 2]] in empirical_attention cfgs)
+    gen_attention: Optional[dict] = None
+    stage_with_gen_attention: Tuple[Tuple[int, ...], ...] = ((), (), (), ())
     # MLPerf-style stem: run the 7x7/s2 conv as space-to-depth(2) + 4x4/s1.
     # Bit-identical arithmetic in isolation (same taps, zero-padded to the
     # 4x4 grid; see _StemS2DConv) and measured NEUTRAL inside the fused
@@ -248,11 +261,15 @@ class ResNet(nn.Module):
                 downsample = j == 0 and (stride != 1 or in_ch != out_ch)
                 extra = {}
                 if block_cls is Bottleneck:
+                    ga = (self.gen_attention
+                          if j in tuple(self.stage_with_gen_attention[i])
+                          else None)
                     extra = dict(groups=self.groups,
                                  base_width=self.base_width,
                                  with_dcn=self.stage_with_dcn[i],
                                  dcn_modulated=self.dcn_modulated,
-                                 with_gcb=self.stage_with_gcb[i])
+                                 with_gcb=self.stage_with_gcb[i],
+                                 gen_attention=ga)
                 x = block_cls(planes=planes, stride=stride, downsample=downsample,
                               conv_cfg=self.conv_cfg,
                               norm_cfg=self.norm_cfg,
