@@ -1,0 +1,5 @@
+# Mask R-CNN R-50-FPN mixed precision 1x (ref: configs/fp16/
+# mask_rcnn_r50_fpn_fp16_1x.py) — bf16 compute / fp32 state on TPU.
+_base_ = "./mask_rcnn_r50_fpn_1x.py"
+model = dict(dtype="bfloat16")
+work_dir = "./work_dirs/mask_rcnn_r50_fpn_bf16_1x"
