@@ -49,7 +49,10 @@ def main():
     params = variables["params"]
 
     # BENCH_QUANT=int8 routes every supported conv through the w8a8 dynamic
-    # quantized kernel (ops/quant.py) — int8 MXU measured 167 vs 123 TOPS
+    # quantized kernel (ops/quant.py).  Measured round 3 (tools/bench_int8):
+    # dynamic int8 is a net LOSS (155 vs 158 img/s); calibrated static int8
+    # is +19% (187 img/s) — see docs/MODEL_ZOO.md.  Default stays bf16: the
+    # driver-recorded number is the exact-accuracy path.
     quant = os.environ.get("BENCH_QUANT", "") == "int8"
 
     @jax.jit

@@ -140,6 +140,24 @@ def test_train_to_map(planted_coco, tmp_path):
     assert metrics_q["AP50"] > 0.8, (metrics, metrics_q)
     assert metrics_q["AP"] > 0.4, (metrics, metrics_q)
 
+    # calibrated static-scale int8 (the path measured 187 vs 158 img/s on
+    # the real v5e, tools/bench_int8.py BENCH_MODES=int8_calibrated): the
+    # per-layer compile-time scales from calibrate() must ALSO preserve the
+    # converged model's mAP — this is the accuracy guardrail for the
+    # deployment path, not just the dynamic one.
+    from ioudet.ops.quant import calibrate
+    calib_imgs = np.stack([val[i]["img"] for i in range(2)])
+    scales = calibrate(
+        lambda x: det.apply({"params": params}, x),
+        [jnp.asarray(calib_imgs)])
+    assert scales, "calibration collected no conv scales"
+    with quantize_calls(act_scale=scales):
+        results_s = single_device_test(det, params, val, imgs_per_batch=8,
+                                       progress=False)
+    metrics_s = val.evaluate(results_s)
+    assert metrics_s["AP50"] > 0.8, (metrics, metrics_s)
+    assert metrics_s["AP"] > 0.4, (metrics, metrics_s)
+
     # rescoring-order equivalence on a TRAINED model (VERDICT r2 item 3):
     # the opt-in rescore-before-topk improvement must be mAP-equivalent to
     # the default reference ordering once cls and IoU heads are trained
