@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bbox.assigners import MaxIoUAssigner
+from ..bbox.geometry import take_small
 from ..bbox.transforms import bbox2delta
 
 
@@ -84,7 +85,9 @@ def anchor_target_single(flat_anchors: jnp.ndarray,
 
     G = gt_bboxes.shape[0]
     safe_gt = jnp.clip(assign.gt_inds - 1, 0, G - 1)
-    matched_gt = gt_bboxes[safe_gt]                      # (A, 4)
+    # one-hot matmul, not gt_bboxes[safe_gt]: small-table gather costs ~8 ms
+    # at A=210k on v5e (see core/bbox/geometry.take_small)
+    matched_gt = take_small(gt_bboxes, safe_gt)          # (A, 4)
     deltas = bbox2delta(flat_anchors, matched_gt, target_means, target_stds)
     posf = pos.astype(jnp.float32)
     bbox_targets = deltas * posf[:, None]

@@ -8,7 +8,30 @@ head's training target uses; the pairwise path is the assigner's hot spot
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def take_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` for a SMALL table (G rows, G <= a few hundred) and a
+    large index vector, as a one-hot matmul instead of a gather.
+
+    XLA:TPU lowers small-table gathers with a huge index axis to a
+    pathologically slow loop (~8 ms for 210k x 4 from a 32-row table on
+    v5e, measured); ``one_hot @ table`` rides the MXU and costs ~0.5 ms.
+    Exact for values representable in fp32 (box coords, small int labels).
+
+    table: (G,) or (G, C); idx: (..., A) int in [0, G).
+    Returns table.dtype, shape idx.shape (+ (C,) if table is 2-D).
+    """
+    squeeze = table.ndim == 1
+    t2 = table[:, None] if squeeze else table
+    oh = jax.nn.one_hot(idx, t2.shape[0], dtype=jnp.float32)
+    out = oh @ t2.astype(jnp.float32)
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        out = jnp.round(out)
+    out = out.astype(table.dtype)
+    return out[..., 0] if squeeze else out
 
 
 def bbox_overlaps(bboxes1: jnp.ndarray, bboxes2: jnp.ndarray, mode: str = "iou",

@@ -29,18 +29,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, make_args, iters=8, chain=2):
-    outs = None
+def timed(fn, make_args, iters=8, chain=4):
+    """Relay-safe timing: fn(carry, *args) -> scalar.  The carry chains
+    iterations (serial data dependency prevents elision/overlap) and the
+    scalar is FETCHED (float()) once per chain — block_until_ready alone
+    does not force real execution on remote-device relays (see bench.py)."""
     args_list = [make_args(i) for i in range(iters + chain)]
+    carry = jnp.float32(0.0)
     for a in args_list[iters:]:
-        outs = fn(*a)
-    jax.block_until_ready(outs)
+        carry = fn(carry, *a)
+    float(carry)
     times = []
     for rep in range(iters // chain):
         t0 = time.perf_counter()
         for i in range(chain):
-            outs = fn(*args_list[rep * chain + i])
-        jax.block_until_ready(jax.tree.leaves(outs)[0])
+            carry = fn(carry, *args_list[rep * chain + i])
+        float(carry)
         times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times))
 
@@ -100,22 +104,23 @@ def main():
 
     # ---- loss-only forward
     @jax.jit
-    def loss_fwd(params, b):
-        losses = det.apply({"params": params}, b["img"], b["gt_bboxes"],
+    def loss_fwd(carry, params, b):
+        losses = det.apply({"params": params},
+                           b["img"] + carry * 1e-30, b["gt_bboxes"],
                            b["gt_labels"], b["gt_valid"], b["img_shape"],
                            b["pad_shape"], method=det.forward_train)
         return sum(jnp.sum(v) for v in losses.values())
 
-    t_loss = timed(lambda b: loss_fwd(params, b),
+    t_loss = timed(lambda c, b: loss_fwd(c, params, b),
                    lambda i: (batches[i % len(batches)],))
 
     # ---- network forward only
     @jax.jit
-    def fwd_feats(params, img):
-        outs = det.apply({"params": params}, img)
+    def fwd_feats(carry, params, img):
+        outs = det.apply({"params": params}, img + carry * 1e-30)
         return sum(jnp.sum(o[-1]) for o in outs)
 
-    t_fwd = timed(lambda im: fwd_feats(params, im),
+    t_fwd = timed(lambda c, im: fwd_feats(c, params, im),
                   lambda i: (batches[i % len(batches)]["img"],))
 
     # ---- assignment only (anchor_target on the flagship anchor grid)
@@ -126,29 +131,31 @@ def main():
                      for s in head.anchor_strides]
 
     @jax.jit
-    def assign_only(b):
+    def assign_only(carry, b):
         anchors, valid = head.get_anchors(featmap_sizes, b["pad_shape"])
         assigner = MaxIoUAssigner(pos_iou_thr=0.5, neg_iou_thr=0.4,
                                   min_pos_iou=0.0)
-        t = anchor_target(anchors, valid, b["gt_bboxes"], b["gt_valid"],
-                          b["gt_labels"], b["img_shape"], assigner,
-                          head.target_means, head.target_stds)
+        t = anchor_target(anchors, valid, b["gt_bboxes"] + carry * 1e-30,
+                          b["gt_valid"], b["gt_labels"], b["img_shape"],
+                          assigner, head.target_means, head.target_stds)
         return t.labels.sum() + t.bbox_targets.sum()
 
-    t_assign = timed(lambda b: assign_only(b),
+    t_assign = timed(assign_only,
                      lambda i: (batches[i % len(batches)],))
 
     # ---- full train step LAST: it donates (and deletes) the param buffers
+    # state chains through iterations by construction; fetch the step
+    # scalar (not block_until_ready) to force real execution per chain
     st = jax.tree.map(jnp.asarray, state)
     st, _ = step_fn(st, batches[-1])  # compile + warmup
-    jax.block_until_ready(st["params"])
+    int(st["step"])
     times = []
-    for rep in range(4):
+    for rep in range(2):
         t0 = time.perf_counter()
-        for i in range(2):
-            st, log_vars = step_fn(st, batches[rep * 2 + i])
-        jax.block_until_ready(st["params"])
-        times.append((time.perf_counter() - t0) / 2)
+        for i in range(4):
+            st, log_vars = step_fn(st, batches[rep * 4 + i])
+        int(st["step"])
+        times.append((time.perf_counter() - t0) / 4)
     t_full = float(np.median(times))
 
     flop_fwd = 0.52e12 * batch  # XLA-counted forward cost (see BASELINE.md)
