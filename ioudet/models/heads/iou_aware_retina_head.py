@@ -82,14 +82,11 @@ class IoUAwareRetinaHead(RetinaHead):
             gt_ignore_valid=gt_ignore_valid)
 
         num_pos = jnp.maximum(targets.num_total_pos, 1).astype(jnp.float32)
-        cls_flat = self._flatten_levels(cls_scores, self.cls_out_channels)
         box_flat = self._flatten_levels(bbox_preds, 4)
         iou_flat = self._flatten_levels(iou_preds, 1)[..., 0]  # (B, A_tot)
 
-        loss_cls = self._loss_cls_fn()(
-            cls_flat.reshape(-1, self.cls_out_channels),
-            targets.labels.reshape(-1),
-            weight=targets.label_weights.reshape(-1),
+        loss_cls = self._cls_loss_from_levels(
+            cls_scores, targets.labels, targets.label_weights,
             avg_factor=num_pos)
         loss_bbox = self._loss_bbox_fn()(
             box_flat.reshape(-1, 4),
