@@ -1,0 +1,9 @@
+# DCN Faster R-CNN X-101-32x4d (ref: configs/dcn/
+# faster_rcnn_dconv_c3-c5_x101_32x4d_fpn_1x.py).
+_base_ = "./faster_rcnn_r50_fpn_1x.py"
+model = dict(backbone=dict(_delete_=True, type="ResNeXt", depth=101,
+                           groups=32, base_width=4, num_stages=4,
+                           out_indices=(0, 1, 2, 3), frozen_stages=1,
+                           norm_cfg=dict(type="FrozenBN"),
+                           stage_with_dcn=(False, True, True, True)))
+work_dir = "./work_dirs/dcn_faster_rcnn_dconv_c3-c5_x101_32x4d_fpn_1x"

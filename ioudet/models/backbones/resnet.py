@@ -110,6 +110,11 @@ class Bottleneck(nn.Module):
     conv_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
     zero_init_residual: bool = False
+    # 'pytorch' (stride on the 3x3) vs 'caffe' (stride on the first 1x1) —
+    # ref: mmdet/models/backbones/resnet.py (Bottleneck.__init__: style in
+    # ('pytorch', 'caffe'); conv1_stride/conv2_stride swap).  The caffe form
+    # is what the reference's GA / FCOS / C4 config families use.
+    style: str = "pytorch"
     with_dcn: bool = False      # deformable 3x3 (ref: configs/dcn/* "dcn")
     dcn_modulated: bool = False  # DCNv2 (modulated)
     with_gcb: bool = False      # global-context block after conv3 (gcb)
@@ -129,8 +134,12 @@ class Bottleneck(nn.Module):
         identity = x
         Conv = conv_class(self.conv_cfg)
 
-        out = Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                   kernel_init=_KINIT, name="conv1")(x)
+        # stride placement: pytorch on the 3x3, caffe on the first 1x1
+        c1_stride = self.stride if self.style == "caffe" else 1
+        c2_stride = 1 if self.style == "caffe" else self.stride
+
+        out = Conv(width, (1, 1), strides=(c1_stride,) * 2, use_bias=False,
+                   dtype=self.dtype, kernel_init=_KINIT, name="conv1")(x)
         out = _norm(self.norm_cfg, width, self.dtype, "bn1")(out)
         out = nn.relu(out)
         if self.with_dcn:
@@ -138,7 +147,7 @@ class Bottleneck(nn.Module):
             # (and masks for v2) from a zero-init conv on the input feature
             from ...ops.deform_conv import deform_conv2d
             noff = 27 if self.dcn_modulated else 18
-            om = nn.Conv(noff, (3, 3), strides=(self.stride,) * 2, padding=1,
+            om = nn.Conv(noff, (3, 3), strides=(c2_stride,) * 2, padding=1,
                          kernel_init=nn.initializers.zeros,
                          dtype=self.dtype, name="conv2_offset")(out)
             offsets, mask = om[..., :18], None
@@ -147,10 +156,9 @@ class Bottleneck(nn.Module):
             kernel = self.param(
                 "conv2_kernel", _KINIT, (3, 3, width, width))
             out = deform_conv2d(out, offsets, kernel.astype(self.dtype),
-                                mask=mask, stride=self.stride)
+                                mask=mask, stride=c2_stride)
         else:
-            # 'pytorch' style: stride lives on the 3x3
-            out = Conv(width, (3, 3), strides=(self.stride,) * 2, padding=1,
+            out = Conv(width, (3, 3), strides=(c2_stride,) * 2, padding=1,
                        feature_group_count=self.groups, use_bias=False,
                        dtype=self.dtype, kernel_init=_KINIT,
                        name="conv2")(out)
@@ -202,6 +210,9 @@ class ResNet(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     strides: Tuple[int, ...] = (1, 2, 2, 2)
     frozen_stages: int = -1
+    # ref: ResNet(style='pytorch'|'caffe') — caffe bottlenecks stride on the
+    # first 1x1; used by the GA / FCOS / C4 reference config families
+    style: str = "pytorch"
     groups: int = 1
     base_width: int = 4
     conv_cfg: Optional[dict] = None  # dict(type="ConvWS") -> gn+ws family
@@ -264,7 +275,8 @@ class ResNet(nn.Module):
                     ga = (self.gen_attention
                           if j in tuple(self.stage_with_gen_attention[i])
                           else None)
-                    extra = dict(groups=self.groups,
+                    extra = dict(style=self.style,
+                                 groups=self.groups,
                                  base_width=self.base_width,
                                  with_dcn=self.stage_with_dcn[i],
                                  dcn_modulated=self.dcn_modulated,

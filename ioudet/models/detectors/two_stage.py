@@ -118,8 +118,18 @@ class TwoStageDetector(nn.Module):
     bbox_roi_extractor: nn.Module
     bbox_head: nn.Module
     neck: Optional[nn.Module] = None
+    # shared RoI trunk (ref: mmdet/models/shared_heads/res_layer.py used by
+    # the C4 configs, e.g. configs/faster_rcnn_r50_caffe_c4_1x.py): applied
+    # to pooled RoI features before the box head
+    shared_head: Optional[nn.Module] = None
     train_cfg: Any = None
     test_cfg: Any = None
+
+    def _roi_forward(self, feats, rois, train: bool = False):
+        rf = self.bbox_roi_extractor(feats[:4], rois)
+        if self.shared_head is not None:
+            rf = self.shared_head(rf, train=train)
+        return rf
 
     def extract_feat(self, img, train: bool = False):
         x = self.backbone(img, train=train)
@@ -180,7 +190,7 @@ class TwoStageDetector(nn.Module):
                 B_, N_ = labels_all.shape
                 rois_all = self._to_rois(jax.lax.stop_gradient(boxes_all))
                 feats_sg = jax.tree.map(jax.lax.stop_gradient, feats)
-                rf = self.bbox_roi_extractor(feats_sg[:4], rois_all)
+                rf = self._roi_forward(feats_sg, rois_all, train=True)
                 cls, _ = self.bbox_head(rf, train=True)
                 tgt = jnp.clip(labels_all.reshape(-1), 0, None)
                 logp = jax.nn.log_softmax(cls.astype(jnp.float32), axis=-1)
@@ -195,7 +205,7 @@ class TwoStageDetector(nn.Module):
                               hardness_fn=hardness_fn)
 
         rois = self._to_rois(sel_boxes)  # (B*N, 5)
-        roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+        roi_feats = self._roi_forward(feats, rois, train=True)
         cls_score, bbox_pred = self.bbox_head(roi_feats, train=True)
 
         flat = lambda x: x.reshape((-1,) + x.shape[2:])
@@ -243,7 +253,7 @@ class TwoStageDetector(nn.Module):
 
         B, P = props.shape[:2]
         rois = self._to_rois(props[..., :4])
-        roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+        roi_feats = self._roi_forward(feats, rois)
         cls_score, bbox_pred = self.bbox_head(roi_feats)
         num_classes = self.bbox_head.num_classes
         scores = jax.nn.softmax(cls_score, axis=-1)[:, 1:]  # drop bg column
@@ -308,7 +318,7 @@ class TwoStageDetector(nn.Module):
         feats = self.extract_feat(img)
         B, P = prop_boxes.shape[:2]
         rois = self._to_rois(prop_boxes)
-        roi_feats = self.bbox_roi_extractor(feats[:4], rois)
+        roi_feats = self._roi_forward(feats, rois)
         cls_score, bbox_pred = self.bbox_head(roi_feats)
         num_classes = self.bbox_head.num_classes
         scores = jax.nn.softmax(cls_score.astype(jnp.float32), axis=-1)[:, 1:]

@@ -28,6 +28,7 @@ class ResLayer(nn.Module):
     depth: int = 50
     stage: int = 3              # res5 (0-indexed stage 3)
     stride: int = 2
+    style: str = "pytorch"      # C4 reference configs use 'caffe'
     norm_cfg: Any = None        # default FrozenBN like detection backbones
     dtype: Any = jnp.float32
 
@@ -42,7 +43,8 @@ class ResLayer(nn.Module):
             stride = self.stride if j == 0 else 1
             downsample = j == 0
             x = block_cls(planes=planes, stride=stride,
-                          downsample=downsample, norm_cfg=norm,
+                          downsample=downsample, style=self.style,
+                          norm_cfg=norm,
                           dtype=self.dtype, name=f"layer{self.stage + 1}_"
                                                  f"block{j}")(x, train=train)
         return x
