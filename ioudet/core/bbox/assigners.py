@@ -126,6 +126,72 @@ class MaxIoUAssigner:
         return result
 
 
+class PointAssigner:
+    """Assign points to gt boxes (ref: mmdet/core/bbox/assigners/
+    point_assigner.py (PointAssigner.assign) — the RepPoints init-stage
+    assigner).
+
+    Reference semantics, fixed-shape: each gt lives on ONE pyramid level
+    (``lvl = clamp(round_toward_zero(0.5*(log2(w/scale)+log2(h/scale))))``);
+    among that level's points, the gt claims its ``pos_num`` nearest by
+    gt-normalized center distance; a point contested by several gts keeps
+    the closest one (the reference's sequential loop carries a per-point
+    best-distance table — later gts win only by being strictly closer).
+    Everything unassigned is background (0); there is no ignore state.
+    """
+
+    def __init__(self, scale: float = 4, pos_num: int = 3):
+        self.scale = scale
+        self.pos_num = pos_num
+
+    def assign(self, points: jnp.ndarray, gt_bboxes: jnp.ndarray,
+               gt_valid: jnp.ndarray, point_valid: jnp.ndarray,
+               gt_labels: Optional[jnp.ndarray] = None) -> AssignResult:
+        """points (P, 3): x, y, stride.  Padded gts masked via gt_valid."""
+        points = jnp.asarray(points)
+        xy = points[:, :2]
+        pts_lvl = jnp.floor(jnp.log2(points[:, 2])).astype(jnp.int32)  # (P,)
+        lvl_min, lvl_max = jnp.min(pts_lvl), jnp.max(pts_lvl)
+
+        gt_xy = (gt_bboxes[:, :2] + gt_bboxes[:, 2:]) / 2
+        gt_wh = jnp.clip(gt_bboxes[:, 2:] - gt_bboxes[:, :2], 1e-6, None)
+        # torch .int() truncates toward zero, not floor
+        gt_lvl = jnp.clip(
+            (0.5 * (jnp.log2(gt_wh[:, 0] / self.scale)
+                    + jnp.log2(gt_wh[:, 1] / self.scale))
+             ).astype(jnp.int32), lvl_min, lvl_max)                    # (G,)
+
+        G = gt_bboxes.shape[0]
+        P = points.shape[0]
+        INF = jnp.float32(1e18)
+
+        def body(i, carry):
+            assigned, best_dist = carry
+            dist = jnp.linalg.norm((xy - gt_xy[i]) / gt_wh[i], axis=1)
+            dist = jnp.where((pts_lvl == gt_lvl[i]) & point_valid, dist, INF)
+            # gt i's pos_num nearest candidates on its level
+            neg_top, top_idx = jax.lax.top_k(-dist, self.pos_num)
+            cand_dist = -neg_top
+            take = (cand_dist < best_dist[top_idx]) & (cand_dist < INF) \
+                & gt_valid[i]
+            assigned = assigned.at[top_idx].set(
+                jnp.where(take, jnp.int32(i + 1), assigned[top_idx]))
+            best_dist = best_dist.at[top_idx].set(
+                jnp.where(take, cand_dist, best_dist[top_idx]))
+            return assigned, best_dist
+
+        assigned, _ = jax.lax.fori_loop(
+            0, G, body, (jnp.zeros((P,), jnp.int32), jnp.full((P,), INF)))
+
+        if gt_labels is not None:
+            safe = jnp.clip(assigned - 1, 0, G - 1)
+            labels = jnp.where(assigned > 0, take_small(gt_labels, safe),
+                               0).astype(jnp.int32)
+        else:
+            labels = jnp.zeros((P,), jnp.int32)
+        return AssignResult(assigned, jnp.zeros((P,), jnp.float32), labels)
+
+
 class ApproxMaxIoUAssigner(MaxIoUAssigner):
     """Assign via the MAX IoU over each location's approximate anchors
     (ref: mmdet/core/bbox/assigners/approx_max_iou_assigner.py): guided

@@ -81,3 +81,9 @@ class FCOS(SingleStageDetector):
 @DETECTORS.register_module
 class SSD(SingleStageDetector):
     """SSD = SSDVGG backbone + SSDHead, no neck."""
+
+
+@DETECTORS.register_module
+class RepPointsDetector(SingleStageDetector):
+    """ref: mmdet/models/detectors/reppoints_detector.py — registration
+    shim (its aug-merge override is subsumed by apis/test.py::aug_test)."""

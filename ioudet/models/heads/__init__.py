@@ -7,8 +7,9 @@ from .ssd_head import SSDHead
 from .guided_anchor_head import (GuidedAnchorHead, GARetinaHead, GARPNHead,
                                  FeatureAdaption)
 from .free_anchor_retina_head import FreeAnchorRetinaHead
+from .reppoints_head import RepPointsHead
 
 __all__ = ["AnchorHead", "RetinaHead", "IoUAwareRetinaHead", "RPNHead",
            "FCOSHead", "SSDHead", "GuidedAnchorHead", "GARetinaHead",
            "GARPNHead", "FeatureAdaption", "FreeAnchorRetinaHead",
-           "clip_boxes"]
+           "RepPointsHead", "clip_boxes"]
