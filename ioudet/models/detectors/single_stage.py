@@ -87,3 +87,8 @@ class SSD(SingleStageDetector):
 class RepPointsDetector(SingleStageDetector):
     """ref: mmdet/models/detectors/reppoints_detector.py — registration
     shim (its aug-merge override is subsumed by apis/test.py::aug_test)."""
+
+
+@DETECTORS.register_module
+class FOVEA(SingleStageDetector):
+    """ref: mmdet/models/detectors/fovea.py — registration shim."""

@@ -8,8 +8,9 @@ from .guided_anchor_head import (GuidedAnchorHead, GARetinaHead, GARPNHead,
                                  FeatureAdaption)
 from .free_anchor_retina_head import FreeAnchorRetinaHead
 from .reppoints_head import RepPointsHead
+from .fovea_head import FoveaHead
 
 __all__ = ["AnchorHead", "RetinaHead", "IoUAwareRetinaHead", "RPNHead",
            "FCOSHead", "SSDHead", "GuidedAnchorHead", "GARetinaHead",
            "GARPNHead", "FeatureAdaption", "FreeAnchorRetinaHead",
-           "RepPointsHead", "clip_boxes"]
+           "RepPointsHead", "FoveaHead", "clip_boxes"]
