@@ -1,6 +1,7 @@
-"""HRFPN neck (ref: mmdet/models/necks/hrfpn.py (HRFPN)): concatenate all
-HRNet branches at the highest resolution, 1x1-reduce, then average-pool out a
-pyramid with per-level 3x3 convs."""
+"""HRFPN neck (ref: mmdet/models/necks/hrfpn.py (HRFPN)): bilinearly
+upsample all HRNet branches to the highest resolution (the reference's
+F.interpolate(mode='bilinear')), concatenate, 1x1-reduce, then average-pool
+out a pyramid with per-level 3x3 convs."""
 
 from __future__ import annotations
 
@@ -10,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..registry import NECKS
-from ..utils.layers import ConvModule, resize_nearest
+from ..utils.layers import ConvModule, resize_bilinear
 
 
 @NECKS.register_module
@@ -25,7 +26,7 @@ class HRFPN(nn.Module):
     def __call__(self, inputs, train: bool = False):
         assert len(inputs) == len(self.in_channels)
         target = inputs[0].shape[1:3]
-        feats = [inputs[0]] + [resize_nearest(x, target) for x in inputs[1:]]
+        feats = [inputs[0]] + [resize_bilinear(x, target) for x in inputs[1:]]
         x = jnp.concatenate(feats, axis=-1)
         x = ConvModule(self.out_channels, (1, 1), act=None, dtype=self.dtype,
                        name="reduction")(x, train)

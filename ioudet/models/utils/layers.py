@@ -200,6 +200,46 @@ def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     return x[:, rows][:, :, cols]
 
 
+def _adaptive_max_1d(x: jnp.ndarray, axis: int, out: int) -> jnp.ndarray:
+    """torch adaptive_max_pool semantics along one axis: bin i spans
+    [floor(i*S/out), ceil((i+1)*S/out)).  Bin geometry is computed at trace
+    time (static shapes), so under jit this is one gather + masked max."""
+    import numpy as np
+    size = x.shape[axis]
+    if size == out:
+        return x
+    starts = np.floor(np.arange(out) * size / out).astype(np.int64)
+    ends = np.ceil((np.arange(out) + 1) * size / out).astype(np.int64)
+    k = int((ends - starts).max())
+    idx = starts[:, None] + np.arange(k)[None, :]          # (out, k)
+    valid = idx < ends[:, None]
+    idx = np.minimum(idx, size - 1)
+    g = jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=axis)
+    g = jnp.moveaxis(g, axis, 0).reshape((out, k) + jnp.moveaxis(
+        g, axis, 0).shape[1:])
+    neg = jnp.asarray(-jnp.inf, g.dtype)
+    mask = jnp.asarray(valid).reshape(
+        (out, k) + (1,) * (g.ndim - 2))
+    g = jnp.max(jnp.where(mask, g, neg), axis=1)
+    return jnp.moveaxis(g, 0, axis)
+
+
+def adaptive_max_pool(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC adaptive max pool matching torch F.adaptive_max_pool2d (exactly,
+    incl. non-divisible sizes — variable bins, separable by axis)."""
+    return _adaptive_max_1d(_adaptive_max_1d(x, 1, size[0]), 2, size[1])
+
+
+def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize matching torch F.interpolate(mode='bilinear',
+    align_corners=False) — both use half-pixel source centers, which is
+    jax.image.resize's convention.  NHWC; computed in fp32."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x.astype(jnp.float32),
+                            (n, size[0], size[1], c),
+                            method="linear").astype(x.dtype)
+
+
 class Scale(nn.Module):
     """Learnable scalar multiplier (ref: mmdet/models/utils/scale.py)."""
 
