@@ -51,12 +51,18 @@ def make_predict_fn(detector, mesh=None):
 def single_device_test(detector, params, dataset, imgs_per_batch: int = 8,
                        workers: int = 4, mesh=None,
                        progress: bool = True,
-                       device_preprocess: bool = False
-                       ) -> List[List[np.ndarray]]:
+                       device_preprocess: bool = False,
+                       return_raw: bool = False):
     """Returns bbox2result-format detections aligned with dataset order.
     Mask detectors (3-output simple_test) yield (bbox_results, segm_results)
     tuples per image, segm as per-class lists of RLE dicts (ref:
     coco_utils.results2json segm branch).
+
+    ``return_raw=True`` skips the per-class conversion and returns
+    ``{dataset_idx: (dets(100,5), labels(100)[, mask_probs, ori_shape])}``
+    of FIXED-SHAPE numpy arrays — the multi-host gather format (the shapes
+    are process-uniform, so one collective merges shards; ref:
+    tools/test.py (collect_results) via tmpdir, replaced here).
 
     ``device_preprocess=True`` bypasses the host pipeline entirely: workers
     only DECODE images; resize+normalize+pad run fused on-chip
@@ -96,6 +102,15 @@ def single_device_test(detector, params, dataset, imgs_per_batch: int = 8,
         mask_probs = np.asarray(out[2]) if len(out) > 2 else None
         for b in range(bsz):
             idx = int(batch["idx"][b])
+            if return_raw:
+                if mask_probs is None:
+                    results[idx] = (dets[b], labels[b])
+                else:
+                    ori = np.asarray(
+                        batch.get("ori_shape", batch["img_shape"])[b],
+                        np.int32)
+                    results[idx] = (dets[b], labels[b], mask_probs[b], ori)
+                continue
             bbox_res = bbox2result(dets[b], labels[b], num_classes)
             if mask_probs is None:
                 results[idx] = bbox_res
@@ -109,6 +124,8 @@ def single_device_test(detector, params, dataset, imgs_per_batch: int = 8,
         if progress and n_done % (20 * imgs_per_batch) == 0:
             rate = n_done / (time.time() - t0)
             logger.info(f"eval {n_done}/{len(dataset)} ({rate:.1f} img/s)")
+    if return_raw:
+        return results
     return [results[i] for i in sorted(results)]
 
 
@@ -219,14 +236,52 @@ def masks_to_segm_result(dets: np.ndarray, labels: np.ndarray,
 
 
 def multi_host_test(detector, params, dataset, **kwargs):
-    """Multi-host variant: each process evaluates its shard, then results are
-    allgathered (ref: collect_results via tmpdir -> process_allgather)."""
-    results = single_device_test(detector, params, dataset, **kwargs)
+    """Multi-host evaluation (ref: tools/test.py (multi_gpu_test +
+    collect_results)): each process runs inference on its loader shard (the
+    loader round-robins batches by ``jax.process_index()``), then the
+    FIXED-SHAPE per-image arrays — dets (100,5), labels (100,), optional
+    mask probs — are allgathered across processes and only then converted to
+    the ragged per-class result lists.  This replaces the reference's
+    tmpdir+barrier filesystem gather with one collective, and avoids
+    process_allgather on ragged pytrees (which cannot work: leaf shapes
+    differ per process).  Every process returns the full merged result list
+    in dataset order."""
     if jax.process_count() == 1:
-        return results
-    from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(results)
-    return gathered
+        return single_device_test(detector, params, dataset, **kwargs)
+    from ..parallel import allgather_pytrees
+
+    raw = single_device_test(detector, params, dataset, return_raw=True,
+                             **kwargs)
+    idxs = np.asarray(sorted(raw), np.int64)
+    with_masks = getattr(detector, "mask_head", None) is not None
+    field_dtypes = (np.float32, np.int32, np.float32, np.int32)[
+        : 4 if with_masks else 2]
+    if len(idxs):
+        fields = tuple(
+            np.stack([np.asarray(raw[i][f]) for i in idxs]).astype(dt)
+            for f, dt in enumerate(field_dtypes))
+    else:  # empty shard: trailing dims recovered from a non-empty peer
+        fields = tuple(np.zeros((0,), dt) for dt in field_dtypes)
+    shards = allgather_pytrees((idxs,) + fields)
+
+    num_classes = detector.bbox_head.num_classes
+    merged: dict = {}
+    for shard in shards:
+        s_idx, s_dets, s_labels = shard[0], shard[1], shard[2]
+        for j, i in enumerate(s_idx):
+            i = int(i)
+            if i in merged:  # tail batches are pad-duplicated, keep first
+                continue
+            bbox_res = bbox2result(s_dets[j], s_labels[j], num_classes)
+            if len(shard) > 3:
+                ori = shard[4][j]
+                segm_res = masks_to_segm_result(
+                    s_dets[j], s_labels[j], shard[3][j], num_classes,
+                    int(ori[0]), int(ori[1]))
+                merged[i] = (bbox_res, segm_res)
+            else:
+                merged[i] = bbox_res
+    return [merged[i] for i in sorted(merged)]
 
 
 def _freeze(obj):

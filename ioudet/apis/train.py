@@ -346,9 +346,15 @@ def train_detector(detector, dataset, cfg, work_dir: str,
     logger = get_root_logger()
     mesh = make_mesh(n_devices)
     data_cfg = cfg["data"]
+    # Per-PROCESS batch = imgs_per_gpu x this process's devices; the loader
+    # additionally shards the batch stream by process_index, and shard_batch
+    # assembles the global array from the per-process shards — using the
+    # GLOBAL device count here would double-book the batch (each process
+    # loading a full global batch of different images).
+    from ..parallel import local_device_count
     loader = build_dataloader(dataset, data_cfg.get("imgs_per_gpu", 2),
                               data_cfg.get("workers_per_gpu", 2),
-                              num_gpus=int(np.prod([s for s in mesh.devices.shape])),
+                              num_gpus=local_device_count(mesh),
                               shuffle=True, seed=seed)
     iters_per_epoch = len(loader)
     total_epochs = cfg.get("total_epochs", 12)

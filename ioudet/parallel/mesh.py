@@ -50,7 +50,88 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def local_device_count(mesh: Mesh) -> int:
+    """Number of THIS process's devices in the mesh — the multiplier for the
+    per-process loader batch (each process feeds only its own devices; the
+    global batch is the concatenation across processes)."""
+    pid = jax.process_index()
+    return sum(1 for d in mesh.devices.flat if d.process_index == pid)
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device_put a host batch with the batch axis sharded over the mesh."""
+    """Form the mesh-sharded global batch from this process's host batch.
+
+    Single-process: a plain device_put with the batch axis split over
+    'data'.  Multi-process (the DistributedGroupSampler analog, ref:
+    mmdet/datasets/loader/build_loader.py dist path): each process holds a
+    DIFFERENT local batch of ``global_batch / process_count`` rows (the
+    loader shards the batch stream by ``jax.process_index()``), and the
+    global array is assembled from those per-process shards — no process
+    ever materializes, or double-loads, the full global batch.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    import numpy as np  # local batches arrive as host numpy
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sh, x, global_shape)
+
+    return jax.tree.map(put, batch)
+
+
+def allgather_pytrees(tree):
+    """Gather one pytree of SAME-STRUCTURE numpy arrays from every process;
+    returns the per-process list (ref: tools/test.py (collect_results) —
+    tmpdir+barrier replaced by one fixed-shape collective).
+
+    Leaf LEADING-axis lengths may differ across processes (ragged eval
+    shards; an empty shard may even have unknown trailing dims — pass
+    ``zeros((0,), dtype)`` and the true trailing shape is recovered from a
+    non-empty peer): a first collective agrees on shapes, each leaf is
+    padded on its leading axis to the global max, then one fixed-shape
+    allgather moves the data and the pad rows are sliced back off.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return [tree]
+    leaves, treedef = jax.tree.flatten(tree)
+    leaves = [np.asarray(x) for x in leaves]
+    MAXR = 8
+    shapes = np.full((len(leaves), MAXR), -1, np.int64)
+    for i, x in enumerate(leaves):
+        shapes[i, : x.ndim] = x.shape
+    all_shapes = np.asarray(multihost_utils.process_allgather(shapes))
+    all_lens = all_shapes[:, :, 0]  # (P, L); -1 for rank-0 leaves
+    padded = []
+    for i, x in enumerate(leaves):
+        # reference trailing shape: the longest shard defines it
+        p_ref = int(all_lens[:, i].argmax())
+        ref = all_shapes[p_ref, i]
+        if ref[0] < 0:  # rank-0 leaf everywhere
+            padded.append(x)
+            continue
+        trailing = tuple(int(d) for d in ref[1:] if d >= 0)
+        if x.shape[0] == 0:
+            x = x.reshape((0,) + trailing)
+        assert x.shape[1:] == trailing, \
+            f"leaf {i}: trailing dims differ across processes"
+        m = int(all_lens[:, i].max())
+        if x.shape[0] < m:
+            pad = np.zeros((m - x.shape[0],) + trailing, x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        padded.append(x)
+    gathered = multihost_utils.process_allgather(tuple(padded))  # (P, ...)
+    out = []
+    for p in range(jax.process_count()):
+        rows = []
+        for i, g in enumerate(gathered):
+            gp = np.asarray(g[p])
+            n = int(all_lens[p, i])
+            rows.append(gp[: max(n, 0)] if n >= 0 else gp)
+        out.append(jax.tree.unflatten(treedef, rows))
+    return out
