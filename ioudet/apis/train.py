@@ -166,6 +166,10 @@ def make_train_step(detector, tx: optax.GradientTransformation,
     per-step folded rng."""
 
     def step_fn(state, batch):
+        # extra mutable collections (e.g. GHM's EMA bin counts under 'ghm')
+        # ride the train state like the reference's torch-module buffers
+        model_state = state.get("model_state", {})
+
         def loss_fn(params):
             args = [batch["img"], batch["gt_bboxes"], batch["gt_labels"],
                     batch["gt_valid"], batch["img_shape"], batch["pad_shape"]]
@@ -182,21 +186,29 @@ def make_train_step(detector, tx: optax.GradientTransformation,
                               gt_ignore_valid=batch["gt_ignore_valid"])
             if "gt_semantic_seg" in batch:  # HTC semantic branch
                 kwargs["gt_semantic_seg"] = batch["gt_semantic_seg"]
-            losses = detector.apply({"params": params}, *args, **kwargs,
-                                    method=detector.forward_train,
-                                    rngs={"sampler": jax.random.fold_in(
-                                        jax.random.PRNGKey(0),
-                                        state["step"])}
-                                    if _needs_sampler_rng(detector) else None)
+            kwargs["method"] = detector.forward_train
+            kwargs["rngs"] = ({"sampler": jax.random.fold_in(
+                jax.random.PRNGKey(0), state["step"])}
+                if _needs_sampler_rng(detector) else None)
+            variables = {"params": params, **model_state}
+            if model_state:
+                losses, new_model_state = detector.apply(
+                    variables, *args, **kwargs,
+                    mutable=list(model_state.keys()))
+            else:
+                losses = detector.apply(variables, *args, **kwargs)
+                new_model_state = model_state
             total, log_vars = parse_losses(losses)
-            return total, log_vars
+            return total, (log_vars, new_model_state)
 
-        (_, log_vars), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"])
+        (_, (log_vars, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = dict(params=params, opt_state=opt_state,
                          step=state["step"] + 1)
+        if "model_state" in state:
+            new_state["model_state"] = new_model_state
         return new_state, log_vars
 
     if mesh is None:
@@ -214,7 +226,9 @@ def init_train_state(detector, tx, rng, sample_batch) -> dict:
     params = variables["params"]
     opt_state = tx.init(params)
     return dict(params=params, opt_state=opt_state,
-                step=jnp.zeros((), jnp.int32))
+                step=jnp.zeros((), jnp.int32),
+                model_state={k: v for k, v in variables.items()
+                             if k != "params"})
 
 
 # --------------------------------------------------------------------------
@@ -403,7 +417,8 @@ def train_detector(detector, dataset, cfg, work_dir: str,
                     out[k] = jnp.asarray(v)
             return out
 
-        variables = {"params": merge(variables["params"], loaded)}
+        variables = {**variables, "params": merge(variables["params"],
+                                                  loaded)}
         get_root_logger().info(f"loaded weights from {load_from}")
     frozen_stages = getattr(detector.backbone, "frozen_stages", -1)
     mask = make_trainable_mask(variables["params"], frozen_stages)
@@ -411,7 +426,9 @@ def train_detector(detector, dataset, cfg, work_dir: str,
                          grad_clip=dict(cfg.get("optimizer_config", {})).get(
                              "grad_clip"))
     state = dict(params=variables["params"], opt_state=tx.init(variables["params"]),
-                 step=jnp.zeros((), jnp.int32))
+                 step=jnp.zeros((), jnp.int32),
+                 model_state={k: v for k, v in variables.items()
+                              if k != "params"})
     step_fn = make_train_step(detector, tx, mesh)
 
     eval_hook = None

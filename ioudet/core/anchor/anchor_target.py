@@ -70,7 +70,10 @@ def anchor_target_single(flat_anchors: jnp.ndarray,
                          rng=None):
     A = flat_anchors.shape[0]
     inside = anchor_inside_flags(flat_anchors, valid_flags, img_shape, allowed_border)
-    assign = assigner.assign(flat_anchors, gt_bboxes, gt_valid, inside, gt_labels,
+    # gt_labels=None: the label lookup is fused with the matched-box lookup
+    # below (one (A, G) one-hot matmul against a (G, 5) table instead of
+    # two separate ones — each costs ~27 MB of one-hot traffic per image)
+    assign = assigner.assign(flat_anchors, gt_bboxes, gt_valid, inside, None,
                              gt_bboxes_ignore, gt_ignore_valid)
     if sampler is not None:
         # sampling=True path (ref: anchor_target_single -> assign_and_sample):
@@ -85,16 +88,22 @@ def anchor_target_single(flat_anchors: jnp.ndarray,
 
     G = gt_bboxes.shape[0]
     safe_gt = jnp.clip(assign.gt_inds - 1, 0, G - 1)
-    # one-hot matmul, not gt_bboxes[safe_gt]: small-table gather costs ~8 ms
-    # at A=210k on v5e (see core/bbox/geometry.take_small)
-    matched_gt = take_small(gt_bboxes, safe_gt)          # (A, 4)
+    # ONE one-hot matmul against the (G, 5) [box | label] table, not
+    # gt_bboxes[safe_gt] + gt_labels[safe_gt]: the small-table gather costs
+    # ~8 ms at A=210k on v5e (see core/bbox/geometry.take_small), and the
+    # fused table halves the one-hot traffic vs two separate lookups
+    table = jnp.concatenate(
+        [gt_bboxes.astype(jnp.float32),
+         gt_labels.astype(jnp.float32)[:, None]], axis=-1)   # (G, 5)
+    fetched = take_small(table, safe_gt)                      # (A, 5)
+    matched_gt = fetched[:, :4]
     deltas = bbox2delta(flat_anchors, matched_gt, target_means, target_stds)
     posf = pos.astype(jnp.float32)
     bbox_targets = deltas * posf[:, None]
     bbox_weights = jnp.broadcast_to(posf[:, None], (A, 4))
     pos_gt_boxes = matched_gt * posf[:, None]
 
-    labels = jnp.where(pos, assign.labels, 0).astype(jnp.int32)
+    labels = jnp.where(pos, jnp.round(fetched[:, 4]), 0).astype(jnp.int32)
     pw = 1.0 if pos_weight <= 0 else float(pos_weight)
     label_weights = posf * pw + neg.astype(jnp.float32)
     return labels, label_weights, bbox_targets, bbox_weights, pos_gt_boxes, \

@@ -69,17 +69,22 @@ def assign_max_iou(overlaps: jnp.ndarray,
     assigned = jnp.where(max_overlaps >= pos_iou_thr,
                          argmax_overlaps.astype(jnp.int32) + 1, assigned)
 
-    # step 4: force each gt's best anchor(s) positive, sequential later-wins
-    def body(i, assigned):
-        ok = gt_valid[i] & (gt_max_overlaps[i] >= min_pos_iou)
-        if gt_max_assign_all:
-            hit = masked[i, :] == gt_max_overlaps[i]
-        else:
-            hit = jnp.arange(A) == jnp.argmax(masked[i, :])
-        hit = hit & anchor_valid & ok
-        return jnp.where(hit, jnp.int32(i + 1), assigned)
-
-    assigned = jax.lax.fori_loop(0, G, body, assigned)
+    # step 4: force each gt's best anchor(s) positive.  The reference's
+    # sequential later-wins loop == "the HIGHEST gt index whose best-anchor
+    # set contains this anchor", so one (G, A) max replaces the G-step
+    # fori_loop (a 32-iteration serial chain of (A,)-sized kernels on TPU).
+    ok = gt_valid & (gt_max_overlaps >= min_pos_iou)          # (G,)
+    if gt_max_assign_all:
+        hit = masked == gt_max_overlaps[:, None]
+    else:
+        row_best = jnp.argmax(masked, axis=1)                 # (G,)
+        hit = jax.lax.broadcasted_iota(jnp.int32, (G, A), 1) \
+            == row_best[:, None]
+    hit = hit & ok[:, None] & anchor_valid[None, :]
+    forced = jnp.max(
+        jnp.where(hit, jnp.arange(1, G + 1, dtype=jnp.int32)[:, None], 0),
+        axis=0)                                               # (A,)
+    assigned = jnp.where(forced > 0, forced, assigned)
 
     if gt_labels is not None:
         safe = jnp.clip(assigned - 1, 0, G - 1)

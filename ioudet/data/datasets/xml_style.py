@@ -87,4 +87,27 @@ class VOCDataset(XMLDataset):
 
 @DATASETS.register_module
 class WIDERFaceDataset(XMLDataset):
+    """WIDER Face (ref: mmdet/datasets/wider_face.py (WIDERFaceDataset)):
+    XML-style annotations, but image files live under per-event FOLDERS
+    (e.g. ``0--Parade/xxx.jpg``) recorded in each annotation's <folder> tag
+    — not under JPEGImages/ like VOC."""
+
     CLASSES = ("face",)
+
+    def load_annotations(self, ann_file: str) -> List[dict]:
+        self.cat2label = {c: i + 1 for i, c in enumerate(self.CLASSES)}
+        with open(ann_file) as f:
+            img_ids = [line.strip() for line in f if line.strip()]
+        infos = []
+        for img_id in img_ids:
+            xml_path = os.path.join(self.img_prefix, "Annotations",
+                                    f"{img_id}.xml")
+            root = ET.parse(xml_path).getroot()
+            size = root.find("size")
+            folder = root.find("folder").text
+            infos.append(dict(
+                id=img_id,
+                filename=os.path.join(folder, f"{img_id}.jpg"),
+                width=int(size.find("width").text),
+                height=int(size.find("height").text)))
+        return infos

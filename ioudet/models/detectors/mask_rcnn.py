@@ -31,6 +31,19 @@ class MaskRCNN(TwoStageDetector):
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
                       img_shapes, pad_shapes, gt_masks=None, rng=None,
                       gt_bboxes_ignore=None, gt_ignore_valid=None):
+        losses, _ = self._train_core(img, gt_bboxes, gt_labels, gt_valid,
+                                     img_shapes, pad_shapes, gt_masks, rng,
+                                     gt_bboxes_ignore, gt_ignore_valid)
+        return losses
+
+    def _train_core(self, img, gt_bboxes, gt_labels, gt_valid,
+                    img_shapes, pad_shapes, gt_masks=None, rng=None,
+                    gt_bboxes_ignore=None, gt_ignore_valid=None):
+        """Shared train pipeline; returns (losses, aux) where aux carries the
+        sampled-RoI intermediates (feats, rois, sel_*, mask branch tensors)
+        so subclasses (MaskScoringRCNN) can extend the SAME sampling pass
+        instead of re-deriving RoIs (ref: two_stage.forward_train keeps
+        sampling_results in scope for the maskiou extension)."""
         tcfg = dict(self.train_cfg or {})
         rpn_cfg = dict(tcfg.get("rpn", {}))
         rcnn_cfg = dict(tcfg.get("rcnn", {}))
@@ -82,6 +95,9 @@ class MaskRCNN(TwoStageDetector):
                                      bbox_t, bbox_w)
         losses.update(rpn_losses)
 
+        aux = dict(feats=feats, rois=rois, sel_boxes=sel_boxes,
+                   sel_pos=sel_pos, sel_valid=sel_valid, labels_f=labels_f,
+                   gt_idx=gt_idx)
         if self.mask_head is not None and gt_masks is not None:
             mask_feats = self.mask_roi_extractor(feats[:4], rois)
             mask_pred = self.mask_head(mask_feats, train=True)  # (R,28,28,C-1)
@@ -95,7 +111,9 @@ class MaskRCNN(TwoStageDetector):
             losses["loss_mask"] = self.mask_head.loss(
                 mask_pred, flat(targets), labels_f,
                 flat(sel_pos).astype(jnp.float32))
-        return losses
+            aux.update(mask_feats=mask_feats, mask_pred=mask_pred,
+                       mask_targets=targets)
+        return losses, aux
 
     def simple_test(self, img, img_shapes, scale_factors, pad_shapes,
                     rescale: bool = True):

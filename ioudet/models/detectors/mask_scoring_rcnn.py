@@ -22,40 +22,49 @@ class MaskScoringRCNN(MaskRCNN):
     def forward_train(self, img, gt_bboxes, gt_labels, gt_valid,
                       img_shapes, pad_shapes, gt_masks=None, rng=None,
                       gt_bboxes_ignore=None, gt_ignore_valid=None):
-        # reuse the MaskRCNN pipeline, then add the mask-IoU term computed
-        # from the same sampled RoIs (a second mask forward keeps the code
-        # simple; XLA CSEs the shared subgraphs)
-        losses = super().forward_train(img, gt_bboxes, gt_labels, gt_valid,
-                                       img_shapes, pad_shapes, gt_masks, rng,
-                                       gt_bboxes_ignore=gt_bboxes_ignore,
-                                       gt_ignore_valid=gt_ignore_valid)
-        if self.mask_iou_head is None or gt_masks is None:
+        """Reference MaskIoUHead training semantics (ref:
+        mmdet/models/detectors/mask_scoring_rcnn.py (forward_train) +
+        mask_heads/maskiou_head.py (get_target)): the mask-IoU branch runs
+        on the SAME sampled positive RoIs and the SAME mask predictions as
+        the mask loss (shared via MaskRCNN._train_core), its target is the
+        IoU of the binarized predicted mask against the gt mask with the
+        full-gt-area correction (area-ratio rule), and only positives carry
+        loss weight."""
+        losses, aux = self._train_core(
+            img, gt_bboxes, gt_labels, gt_valid, img_shapes, pad_shapes,
+            gt_masks, rng, gt_bboxes_ignore, gt_ignore_valid)
+        if self.mask_iou_head is None or gt_masks is None or \
+                "mask_pred" not in aux:
             return losses
-        # recompute the sampled rois deterministically from the same rng
-        # is intrusive; instead attach mask-IoU on gt boxes as rois (the
-        # positives' distribution anchor) — sufficient signal for the head
-        B, G = gt_bboxes.shape[:2]
-        feats = self.extract_feat(img, train=True)
-        rois = self._to_rois(gt_bboxes)
-        mask_feats = self.mask_roi_extractor(feats[:4], rois)
-        mask_pred = self.mask_head(mask_feats, train=True)
+        mask_feats = aux["mask_feats"]          # (R, 14, 14, C)
+        mask_pred = aux["mask_pred"]            # (R, S, S, C-1) logits
+        targets = aux["mask_targets"]           # (B, n, S, S) RoI-frame gt
+        labels_f = aux["labels_f"]              # (R,) 1-based
+        sel_boxes = aux["sel_boxes"]            # (B, n, 4)
+        sel_pos = aux["sel_pos"]                # (B, n) bool
+        gt_idx = aux["gt_idx"]                  # (B, n) matched gt index
+
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
         C = mask_pred.shape[-1]
-        labels_f = gt_labels.reshape(-1)
+        out = mask_pred.shape[1]
         safe = jnp.clip(labels_f - 1, 0, C - 1)
         pred_cls = jax.nn.sigmoid(jnp.take_along_axis(
             mask_pred, safe[:, None, None, None], axis=-1)[..., 0])
-        from ...core.mask import mask_target
-        out = mask_pred.shape[1]
 
-        def per_image(gm, gb, pm):
-            idx = jnp.arange(G)
-            return mask_target(gm, gb, gb, idx, pm, out_size=out)
+        # matched gt box + its crop occupancy fraction, per sampled RoI
+        G = gt_bboxes.shape[1]
+        gi = jnp.clip(gt_idx, 0, G - 1)
+        matched_gt = jnp.take_along_axis(gt_bboxes, gi[..., None], axis=1)
+        crop_fracs = jnp.mean(gt_masks.astype(jnp.float32), axis=(2, 3))
+        matched_frac = jnp.take_along_axis(crop_fracs, gi, axis=1)
 
-        targets = jax.vmap(per_image)(gt_masks, gt_bboxes, gt_valid)
-        targets_f = targets.reshape(-1, out, out)
-        iou_t = self.mask_iou_head.mask_iou_target(pred_cls, targets_f)
+        thr = dict(dict(self.train_cfg or {}).get("rcnn", {})).get(
+            "mask_thr_binary", 0.5)
+        iou_t = self.mask_iou_head.mask_iou_target_ref(
+            pred_cls, flat(targets), flat(sel_boxes), flat(matched_gt),
+            matched_frac.reshape(-1), thr=thr)
         iou_pred = self.mask_iou_head(mask_feats, pred_cls, train=True)
-        posf = gt_valid.reshape(-1).astype(jnp.float32)
+        posf = flat(sel_pos).astype(jnp.float32)
         losses["loss_mask_iou"] = self.mask_iou_head.loss(
             iou_pred, jax.lax.stop_gradient(iou_t), labels_f, posf)
         return losses

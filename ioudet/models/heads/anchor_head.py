@@ -165,11 +165,12 @@ class AnchorHead(nn.Module):
                 and cfg.get("use_sigmoid", True)
                 and cfg.get("reduction", "mean") == "mean"):
             cls_flat = self._flatten_levels(cls_scores, C)
-            return self._loss_cls_fn()(
+            return self._call_loss(
+                self._loss_cls_fn(), "cls_acc_sum",
                 cls_flat.reshape(-1, C), labels.reshape(-1),
                 weight=label_weights.reshape(-1), avg_factor=avg_factor)
 
-        from ..losses.focal_loss import sigmoid_focal_loss_with_logits
+        from ..losses.focal_loss import fused_level_focal_sum
         gamma = cfg.get("gamma", 2.0)
         alpha = cfg.get("alpha", 0.25)
         A = self.num_anchors
@@ -178,21 +179,37 @@ class AnchorHead(nn.Module):
         for p in cls_scores:
             b, h, w, _ = p.shape
             n = h * w * A
-            lab = labels[:, start:start + n].reshape(b, h, w, A)
-            lw = label_weights[:, start:start + n].reshape(b, h, w, A)
-            onehot = ((lab[..., None] - 1 == jnp.arange(C, dtype=lab.dtype))
-                      & (lab[..., None] > 0))
-            t = onehot.reshape(b, h, w, A * C).astype(jnp.float32)
-            loss = sigmoid_focal_loss_with_logits(p, t, gamma=gamma,
-                                                  alpha=alpha)
-            wexp = jnp.broadcast_to(lw[..., None],
-                                    (b, h, w, A, C)).reshape(b, h, w, A * C)
-            total = total + jnp.sum(loss * wexp)
+            # fused weighted sum: one-hot target + focal + weight + reduce in
+            # one pass, target rebuilt from int labels in fwd AND bwd — no
+            # (B,H,W,A*C) target/loss/weight tensor ever hits HBM (the
+            # round-3 in-place win, extended through the backward)
+            total = total + fused_level_focal_sum(
+                p, labels[:, start:start + n],
+                label_weights[:, start:start + n].astype(jnp.float32),
+                gamma, alpha, A)
             start += n
         return cfg.get("loss_weight", 1.0) * total / jnp.maximum(
             avg_factor, 1e-12)
 
     # ---------------- training loss ----------------------------------------
+
+    def _call_loss(self, fn, state_name: str, *args, **kwargs):
+        """Invoke a loss fn, threading EMA bin-count state for stateful GHM
+        losses (ref: mmdet/models/losses/ghm_loss.py — ``self.acc_sum`` is a
+        torch-module buffer mutated per forward; the flax analog is a 'ghm'
+        mutable collection carried in the train state)."""
+        if not getattr(fn, "stateful", False):
+            return fn(*args, **kwargs)
+        zeros = lambda: jnp.zeros((fn.bins,), jnp.float32)
+        prev = self.get_variable("ghm", state_name, zeros())
+        out, new_acc = fn(*args, acc_sum=prev, **kwargs)
+        # sow with replace-reduce = plain mutable write, legal outside
+        # compact; no-ops gracefully when 'ghm' isn't mutable (pure loss
+        # evaluation).  Init stores zeros (the reference's fresh buffer).
+        store = zeros() if self.is_initializing() else new_acc
+        self.sow("ghm", state_name, store, init_fn=zeros,
+                 reduce_fn=lambda old, new: new)
+        return out
 
     @property
     def sampling(self) -> bool:
@@ -246,7 +263,8 @@ class AnchorHead(nn.Module):
         loss_cls = self._cls_loss_from_levels(
             cls_scores, targets.labels, targets.label_weights,
             avg_factor=num_pos)
-        loss_bbox = self._loss_bbox_fn()(
+        loss_bbox = self._call_loss(
+            self._loss_bbox_fn(), "bbox_acc_sum",
             box_flat.reshape(-1, 4),
             targets.bbox_targets.reshape(-1, 4),
             weight=targets.bbox_weights.reshape(-1, 4),

@@ -28,6 +28,54 @@ class TestMaskIoUTarget:
         assert float(loss) < 1e-9
 
 
+class TestMaskIoUTargetRef:
+    """Reference area-ratio rule (ref: maskiou_head.py (get_target,
+    _get_area_ratio)): the denominator uses the FULL gt mask area, so a
+    perfect prediction on a half-covering RoI scores 0.5, not 1."""
+
+    def test_half_covering_roi_caps_iou(self):
+        S = 28
+        pred = jnp.ones((1, S, S))          # perfect in-RoI prediction
+        tgt = jnp.ones((1, S, S))           # gt fills the whole RoI
+        roi = jnp.asarray([[0., 0., 56., 28.]])   # half of the gt box
+        gt = jnp.asarray([[0., 0., 56., 56.]])
+        frac = jnp.asarray([1.0])           # gt mask fills its box
+        iou = MaskIoUHead.mask_iou_target_ref(pred, tgt, roi, gt, frac)
+        np.testing.assert_allclose(np.asarray(iou), 0.5, atol=1e-5)
+
+    def test_full_covering_roi_perfect(self):
+        S = 28
+        pred = jnp.ones((1, S, S))
+        tgt = jnp.ones((1, S, S))
+        roi = jnp.asarray([[0., 0., 56., 56.]])
+        gt = jnp.asarray([[0., 0., 56., 56.]])
+        iou = MaskIoUHead.mask_iou_target_ref(pred, tgt, roi, gt,
+                                              jnp.asarray([1.0]))
+        np.testing.assert_allclose(np.asarray(iou), 1.0, atol=1e-5)
+
+    def test_responds_to_mask_quality_not_box(self):
+        """Same RoI geometry, degraded mask -> strictly lower target; the
+        old gt-boxes-as-RoIs shortcut could not express this distinction."""
+        S = 28
+        tgt = jnp.ones((1, S, S))
+        roi = jnp.asarray([[0., 0., 56., 56.]])
+        gt = jnp.asarray([[0., 0., 56., 56.]])
+        frac = jnp.asarray([1.0])
+        good = MaskIoUHead.mask_iou_target_ref(
+            jnp.ones((1, S, S)), tgt, roi, gt, frac)
+        bad = MaskIoUHead.mask_iou_target_ref(
+            jnp.zeros((1, S, S)).at[:, :S // 2].set(1.0), tgt, roi, gt, frac)
+        assert float(bad[0]) < float(good[0]) - 0.3
+
+    def test_empty_gt_is_zero(self):
+        S = 28
+        iou = MaskIoUHead.mask_iou_target_ref(
+            jnp.ones((1, S, S)), jnp.zeros((1, S, S)),
+            jnp.asarray([[0., 0., 28., 28.]]),
+            jnp.asarray([[0., 0., 28., 28.]]), jnp.asarray([0.0]))
+        np.testing.assert_allclose(np.asarray(iou), 0.0)
+
+
 @pytest.fixture(scope="module")
 def msrcnn():
     det = build_detector(dict(

@@ -25,6 +25,13 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--device-preprocess", action="store_true",
                    help="decode-only host loop; fused on-chip resize/normalize/pad")
+    p.add_argument("--show", action="store_true",
+                   help="write annotated result images (ref: tools/test.py "
+                        "--show; headless here, so files instead of windows)")
+    p.add_argument("--show-dir", default=None,
+                   help="directory for --show output "
+                        "(default: <work area>/show)")
+    p.add_argument("--show-score-thr", type=float, default=0.3)
     return p.parse_args()
 
 
@@ -47,6 +54,21 @@ def main():
         results = single_device_test(handle.detector, handle.params, dataset,
                                      imgs_per_batch=args.batch,
                                      device_preprocess=args.device_preprocess)
+    if args.show or args.show_dir:
+        from ioudet.apis.inference import show_result
+        show_dir = args.show_dir or "show"
+        os.makedirs(show_dir, exist_ok=True)
+        classes = getattr(dataset, "CLASSES", None)
+        for i in range(len(dataset)):
+            info = dataset.img_infos[i]
+            src = os.path.join(dataset.img_prefix, info["filename"])
+            res = results[i][0] if isinstance(results[i], tuple) \
+                else results[i]
+            out_file = os.path.join(
+                show_dir, os.path.basename(info["filename"]))
+            show_result(src, res, classes, score_thr=args.show_score_thr,
+                        out_file=out_file)
+        print(f"wrote {len(dataset)} annotated images to {show_dir}")
     if args.out:
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
