@@ -138,6 +138,28 @@ def anchor_target(flat_anchors: jnp.ndarray,
     excluded from the loss entirely.
     """
     B = valid_flags.shape[0]
+    if (sampler is None and gt_bboxes_ignore is None and allowed_border < 0
+            and type(assigner) is MaxIoUAssigner
+            and assigner.gt_max_assign_all
+            and assigner.ignore_iof_thr <= 0
+            and gt_valid.shape[1] <= 128):
+        # fused Pallas path for the default (focal-family) configuration —
+        # one in-register sweep instead of (G, A) matrix materializations;
+        # exact-equality-tested vs the XLA path (tests/test_assign_pallas.py)
+        from ...ops.assign_pallas import fused_anchor_assign
+        pw = 1.0 if pos_weight <= 0 else float(pos_weight)
+        labels, lw, posf, bt, pgb = fused_anchor_assign(
+            flat_anchors, valid_flags, gt_bboxes, gt_valid, gt_labels,
+            pos_iou_thr=float(assigner.pos_iou_thr),
+            neg_iou_thr=float(assigner.neg_iou_thr),
+            min_pos_iou=float(assigner.min_pos_iou), pos_weight=pw,
+            target_means=tuple(target_means), target_stds=tuple(target_stds))
+        A = flat_anchors.shape[0]
+        bw = jnp.broadcast_to(posf[..., None], (B, A, 4))
+        npos = jnp.sum(posf).astype(jnp.int32)
+        nneg = jnp.round(jnp.sum(lw - posf * pw)).astype(jnp.int32)
+        return AnchorTargets(labels, lw, bt, bw, pgb, npos, nneg)
+
     keys = (jax.random.split(rng, B) if sampler is not None
             else jnp.zeros((B, 2), jnp.uint32))
 

@@ -126,20 +126,38 @@ def fused_level_focal_sum(logits, labels, lw, gamma, alpha, num_anchors):
 
 
 def _fused_focal_fwd(logits, labels, lw, gamma, alpha, A):
-    return _fused_focal_sum_impl(logits, labels, lw, gamma, alpha, A), \
-        (logits, labels, lw)
-
-
-def _fused_focal_bwd(gamma, alpha, A, res, g):
-    logits, labels, lw = res
+    """Eager-backward forward: the loss and its (unscaled) d/dx share one
+    exp + one log1p, and dx is stashed as the residual — the plain
+    recompute-in-bwd scheme pays the transcendental chain TWICE (4 ops per
+    element across fwd+bwd vs 2 here), and the focal term is VPU
+    transcendental-bound, not bandwidth-bound (the extra residual write is
+    ~0.3 ms at the train shape vs ~6 ms of recomputed exp/log1p).  The bwd
+    cotangent of a SUM output is a scalar, so bwd is just g * dx."""
     b, h, w, AC = logits.shape
     C = AC // A
     x = logits.astype(jnp.float32).reshape(b, h, w, A, C)
     t = _level_onehot(labels, b, h, w, A, C)
-    dx = g * lw.reshape(b, h, w, A)[..., None] * _focal_dx(x, t, gamma,
-                                                           alpha)
-    return (dx.reshape(b, h, w, AC).astype(logits.dtype),
-            jnp.zeros_like(labels), jnp.zeros_like(lw))
+    lwr = lw.reshape(b, h, w, A)
+    e = jnp.exp(-jnp.abs(x))
+    p = jnp.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
+    pt = t + p * (1.0 - 2.0 * t)
+    wa = alpha * t + (1.0 - alpha) * (1.0 - t)
+    bce = jnp.maximum(x, 0.0) - x * t + jnp.log1p(e)
+    fw = wa * pt ** gamma
+    loss = jnp.sum(jnp.sum(fw * bce, axis=-1) * lwr)
+    dbce = p - t
+    dfw = wa * gamma * pt ** (gamma - 1.0) * (1.0 - 2.0 * t) * p * (1.0 - p)
+    dx = (fw * dbce + bce * dfw) * lwr[..., None]
+    return loss, (dx.reshape(b, h, w, AC).astype(logits.dtype),
+                  labels[:, :0], lw[:, :0])
+
+
+def _fused_focal_bwd(gamma, alpha, A, res, g):
+    dx, labels0, lw0 = res          # labels0/lw0: empty dtype carriers
+    b, h, w, AC = dx.shape
+    n = h * w * A
+    return ((g * dx.astype(jnp.float32)).astype(dx.dtype),
+            jnp.zeros((b, n), labels0.dtype), jnp.zeros((b, n), lw0.dtype))
 
 
 fused_level_focal_sum.defvjp(_fused_focal_fwd, _fused_focal_bwd)
