@@ -372,3 +372,69 @@ def convert_torch_retinanet(state_dict, depth: int = 50,
         "bbox_head": convert_torch_retina_head(sub("bbox_head."),
                                                stacked_convs=stacked_convs),
     }
+
+
+def convert_torch_rpn_head(state_dict) -> dict:
+    """Map mmdet RPNHead weights (rpn_conv / rpn_cls / rpn_reg plain Conv2d,
+    ref: mmdet/models/anchor_heads/rpn_head.py) to our flax tree (same
+    names).  Channel layout needs no shuffling (anchor-major channels both
+    sides)."""
+    params: dict = {}
+    for leaf in ("rpn_conv", "rpn_cls", "rpn_reg"):
+        params[leaf] = {
+            "kernel": _conv_oihw_to_hwio(state_dict[leaf + ".weight"]),
+            "bias": _t2np(state_dict[leaf + ".bias"]),
+        }
+    return params
+
+
+def convert_torch_shared_fc_bbox_head(state_dict, roi_feat_size: int = 7,
+                                      in_channels: int = 256,
+                                      num_shared_fcs: int = 2) -> dict:
+    """Map mmdet SharedFCBBoxHead weights (shared_fcs.N / fc_cls / fc_reg,
+    ref: mmdet/models/bbox_heads/convfc_bbox_head.py) to our flax tree
+    (shared_fcN / fc_cls / fc_reg).
+
+    The FIRST shared fc consumes the flattened RoI feature: torch flattens
+    (C, S, S) channel-major, our trunk flattens (S, S, C) spatial-major, so
+    that fc's input axis must be permuted CHW -> HWC; later fcs and the
+    cls/reg heads are plain transposes."""
+    params: dict = {}
+
+    def dense(src, dst, permute_first=False):
+        w = _t2np(state_dict[src + ".weight"])      # (out, in)
+        if permute_first:
+            out = w.shape[0]
+            w = w.reshape(out, in_channels, roi_feat_size, roi_feat_size)
+            w = w.transpose(0, 2, 3, 1).reshape(out, -1)
+        params[dst] = {"kernel": w.T.copy(),
+                       "bias": _t2np(state_dict[src + ".bias"])}
+
+    for i in range(num_shared_fcs):
+        dense(f"shared_fcs.{i}", f"shared_fc{i}", permute_first=(i == 0))
+    dense("fc_cls", "fc_cls")
+    dense("fc_reg", "fc_reg")
+    return params
+
+
+def convert_torch_faster_rcnn(state_dict, depth: int = 50,
+                              num_laterals: int = 4,
+                              roi_feat_size: int = 7,
+                              head_in_channels: int = 256,
+                              num_shared_fcs: int = 2) -> dict:
+    """Full-detector converter for the Faster R-CNN family: a reference
+    checkpoint ({backbone,neck,rpn_head,bbox_head}.-prefixed torch
+    state_dict) -> our flax param tree.  End-to-end parity with an
+    independent torch twin is asserted in tests/test_two_stage_parity.py."""
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    return {
+        "backbone": convert_torch_resnet(sub("backbone."), depth=depth),
+        "neck": convert_torch_fpn(sub("neck."), num_laterals=num_laterals),
+        "rpn_head": convert_torch_rpn_head(sub("rpn_head.")),
+        "bbox_head": convert_torch_shared_fc_bbox_head(
+            sub("bbox_head."), roi_feat_size=roi_feat_size,
+            in_channels=head_in_channels, num_shared_fcs=num_shared_fcs),
+    }
