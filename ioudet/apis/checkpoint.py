@@ -417,6 +417,43 @@ def convert_torch_shared_fc_bbox_head(state_dict, roi_feat_size: int = 7,
     return params
 
 
+def convert_torch_fcn_mask_head(state_dict, num_convs: int = 4) -> dict:
+    """Map mmdet FCNMaskHead weights (convs.N.conv / upsample / conv_logits,
+    ref: mmdet/models/mask_heads/fcn_mask_head.py) to our flax tree
+    (convN / upsample / conv_logits).
+
+    Two layout crossings live here (asserted in
+    tests/test_two_stage_parity.py::TestMaskHeadParity):
+      * ``upsample`` is a ConvTranspose2d whose torch weight is
+        (in, out, kh, kw) and which computes the GRADIENT-of-conv transpose;
+        flax nn.ConvTranspose is a fractionally-strided forward conv
+        ((kh, kw, in, out) kernel, no flip), so the spatial dims must be
+        FLIPPED in addition to the axis permute.
+      * mmdet's conv_logits emits ``num_classes`` channels (bg channel 0
+        never trained nor read — get_seg_masks indexes 1-based labels);
+        ours emits num_classes-1, so channel 0 is dropped when present.
+    """
+    params: dict = {}
+    for i in range(num_convs):
+        base = f"convs.{i}.conv"
+        params[f"conv{i}"] = {
+            "kernel": _conv_oihw_to_hwio(state_dict[base + ".weight"]),
+            "bias": _t2np(state_dict[base + ".bias"]),
+        }
+    w = _t2np(state_dict["upsample.weight"])          # (in, out, kh, kw)
+    params["upsample"] = {
+        "kernel": np.ascontiguousarray(
+            w.transpose(2, 3, 0, 1)[::-1, ::-1]),
+        "bias": _t2np(state_dict["upsample.bias"]),
+    }
+    lw = _conv_oihw_to_hwio(state_dict["conv_logits.weight"])  # (1,1,in,C)
+    lb = _t2np(state_dict["conv_logits.bias"])
+    if lw.shape[-1] > 1:  # class-specific: drop the unused bg channel
+        lw, lb = lw[..., 1:], lb[1:]
+    params["conv_logits"] = {"kernel": np.ascontiguousarray(lw), "bias": lb}
+    return params
+
+
 def convert_torch_faster_rcnn(state_dict, depth: int = 50,
                               num_laterals: int = 4,
                               roi_feat_size: int = 7,
@@ -438,3 +475,25 @@ def convert_torch_faster_rcnn(state_dict, depth: int = 50,
             sub("bbox_head."), roi_feat_size=roi_feat_size,
             in_channels=head_in_channels, num_shared_fcs=num_shared_fcs),
     }
+
+
+def convert_torch_mask_rcnn(state_dict, depth: int = 50,
+                            num_laterals: int = 4,
+                            roi_feat_size: int = 7,
+                            head_in_channels: int = 256,
+                            num_shared_fcs: int = 2,
+                            mask_num_convs: int = 4) -> dict:
+    """Mask R-CNN converter = Faster R-CNN + FCNMaskHead (ref:
+    mmdet/models/detectors/mask_rcnn.py module layout).  Parity asserted in
+    tests/test_two_stage_parity.py."""
+    def sub(prefix):
+        return {k[len(prefix):]: v for k, v in state_dict.items()
+                if k.startswith(prefix)}
+
+    tree = convert_torch_faster_rcnn(
+        state_dict, depth=depth, num_laterals=num_laterals,
+        roi_feat_size=roi_feat_size, head_in_channels=head_in_channels,
+        num_shared_fcs=num_shared_fcs)
+    tree["mask_head"] = convert_torch_fcn_mask_head(
+        sub("mask_head."), num_convs=mask_num_convs)
+    return tree
