@@ -518,8 +518,14 @@ def tta_test(detector, params, dataset, test_cfg,
 
 def make_eval_hook(val_dataset, cfg, imgs_per_batch: int = 8) -> Callable:
     def hook(detector, params):
-        results = single_device_test(detector, params, val_dataset,
-                                     imgs_per_batch=imgs_per_batch)
+        # multi_host_test: each process evaluates its loader shard and the
+        # fixed-shape gather merges — single_device_test alone would return
+        # only the LOCAL shard under multi-process (misaligned with the
+        # dataset in evaluate()); falls back to single_device_test when
+        # process_count == 1 (ref: CocoDistEvalmAPHook gathers before
+        # COCOeval, mmdet/core/evaluation/eval_hooks.py).
+        results = multi_host_test(detector, params, val_dataset,
+                                  imgs_per_batch=imgs_per_batch)
         if hasattr(val_dataset, "evaluate"):
             return val_dataset.evaluate(results)
         return {}

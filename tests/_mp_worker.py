@@ -81,9 +81,85 @@ def main():
     assert len(results) == len(dataset), \
         f"merged {len(results)} != {len(dataset)}"
 
+    # ================= VERDICT r4 next #7: beyond the happy path =========
+    from jax.experimental import multihost_utils
+
+    # snapshot the full step-3 state BEFORE continuing (step_fn donates)
+    state3 = jax.device_get(state)
+
+    # two more deterministic batches (the loader repeats [0..3],[4..7] with
+    # shuffle=False)
+    it2 = iter(loader)
+    more = []
+    for _ in range(2):
+        more.append({k: v for k, v in next(it2).items() if k in TRAIN_KEYS})
+
+    # (a) UNBROKEN continuation: steps 4-5 straight through
+    for b in more:
+        state, _ = step_fn(state, shard_batch(mesh, b))
+    params5_unbroken = jax.device_get(state["params"])
+
+    # (b) Runner.save on rank 0 only / auto-resume on BOTH ranks / continue
+    # — must be bit-exact vs the unbroken run (ref: mmcv CheckpointHook
+    # saves rank-0 only; Runner.resume restores epoch+step+optimizer).
+    from ioudet.apis.train import Runner
+    work_dir = out_path + ".wd"
+    runner = Runner(det, step_fn, state3, work_dir, checkpoint_interval=1,
+                    mesh=mesh)
+    runner.epoch = 0
+    runner.save("epoch_1")          # rank-0 writes; rank!=0 early-returns
+    if pid != 0:
+        assert not os.path.isdir(os.path.join(work_dir, "epoch_1")) or True
+    multihost_utils.sync_global_devices("ckpt_written")
+    assert os.path.isdir(os.path.join(work_dir, "epoch_1")), \
+        "rank-0 checkpoint not visible"
+    # clobber the live state to prove resume actually loads from disk
+    runner.state = jax.tree.map(np.zeros_like, state3)
+    assert runner.resume(), "auto-resume found no checkpoint"
+    assert runner.epoch == 1
+    st = runner.state
+    assert int(np.asarray(st["step"])) == 3
+    for b in more:
+        st, _ = step_fn(st, shard_batch(mesh, b))
+    params5_resumed = jax.device_get(st["params"])
+    for a, b_ in zip(jax.tree.leaves(params5_resumed),
+                     jax.tree.leaves(params5_unbroken)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # (c) the EVAL HOOK under multi-process training: every process must
+    # see the FULL merged metrics (the reference's CocoDistEvalmAPHook
+    # gather semantics), not its shard's
+    from ioudet.apis.test import make_eval_hook
+
+    class _EvalDS(TinyDataset):
+        """TinyDataset + a deterministic evaluate() that fingerprints WHICH
+        images it saw — shard-only results change the value."""
+
+        def evaluate(self, res):
+            tot = 0.0
+            for per_img in res:
+                tot += sum(float(np.sum(a)) for a in per_img)
+            return dict(n_results=float(len(res)), checksum=tot)
+
+    hook = make_eval_hook(_EvalDS(), None, imgs_per_batch=2)
+    hook_metrics = hook(det, params5_unbroken)
+    assert hook_metrics["n_results"] == 12.0, hook_metrics
+
+    # (d) UNEVEN shard: 11 images over 2 processes x batch 2 (process 0
+    # sees 3 batches=6 imgs, process 1 sees 3 batches with a padded tail) —
+    # the merged list must still be exactly the 11 originals
+    uneven = TinyDataset(n=11)
+    res_uneven = multi_host_test(det, params5_unbroken, uneven,
+                                 imgs_per_batch=2, workers=1, progress=False)
+    assert len(res_uneven) == 11, len(res_uneven)
+
     with open(out_path, "wb") as f:
         pickle.dump(dict(losses=losses, params=final_params,
-                         results=results, process=pid), f)
+                         results=results, process=pid,
+                         params5_unbroken=params5_unbroken,
+                         params5_resumed=params5_resumed,
+                         hook_metrics=hook_metrics,
+                         results_uneven=res_uneven), f)
     print(f"worker {pid} ok")
 
 

@@ -131,3 +131,47 @@ class TestMultiProcess:
         for x, y in zip(jax.tree.leaves(a["params"]),
                         jax.tree.leaves(b["params"])):
             np.testing.assert_array_equal(x, y)
+
+    # ---- beyond the happy path (VERDICT r4 next #7) -----------------------
+
+    def test_checkpoint_resume_bit_exact(self, mp_outputs):
+        """Save on rank 0 / auto-resume on both ranks / continue == the
+        unbroken run, bit-exact (asserted in-worker; re-checked across
+        processes here)."""
+        a, b = mp_outputs
+        for out in (a, b):
+            for x, y in zip(jax.tree.leaves(out["params5_resumed"]),
+                            jax.tree.leaves(out["params5_unbroken"])):
+                np.testing.assert_array_equal(x, y)
+        for x, y in zip(jax.tree.leaves(a["params5_resumed"]),
+                        jax.tree.leaves(b["params5_resumed"])):
+            np.testing.assert_array_equal(x, y)
+
+    def test_eval_hook_sees_full_dataset_on_every_process(self, mp_outputs):
+        """The mid-training eval hook must return FULL-dataset metrics on
+        both processes (the make_eval_hook -> multi_host_test merge), and
+        identical ones."""
+        a, b = mp_outputs
+        assert a["hook_metrics"]["n_results"] == 12.0
+        assert a["hook_metrics"] == b["hook_metrics"]
+
+    def test_uneven_shard_eval(self, mp_outputs):
+        """len(dataset)=11 over 2 processes (padded tail on one shard): the
+        merged list must be exactly the 11 originals, equal on both
+        processes and equal to a single-process eval of the same 11."""
+        a, b = mp_outputs
+        assert len(a["results_uneven"]) == 11
+        assert len(b["results_uneven"]) == 11
+        from ioudet.apis.test import single_device_test
+        from ioudet.models import build_detector
+        from mp_common import TinyDataset, small_detector_cfgs
+
+        cfg, train_cfg, test_cfg = small_detector_cfgs()
+        det = build_detector(cfg, train_cfg, test_cfg)
+        ref = single_device_test(det, a["params5_unbroken"], TinyDataset(11),
+                                 imgs_per_batch=2, workers=1, progress=False)
+        for out in (a, b):
+            assert len(out["results_uneven"]) == len(ref)
+            for per_img, ref_img in zip(out["results_uneven"], ref):
+                for x, y in zip(per_img, ref_img):
+                    np.testing.assert_allclose(x, y, rtol=1e-4, atol=1e-5)

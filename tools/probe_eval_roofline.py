@@ -36,7 +36,7 @@ import numpy as np
 
 PEAK_TFLOPS = 205.6
 HBM_GBPS = 819.0
-REPEAT = 8
+REPEAT = 32  # chained in-program; ~27 ms dispatch / (chain*REPEAT) ≈ 0.4 ms
 
 # (label, count, H, W, Cin, Cout, k, stride) at canvas 832x1344
 # ResNet-50: stem 416x672 out; C2 208x336, C3 104x168, C4 52x84, C5 26x42.
@@ -95,16 +95,18 @@ SPECS = [
 ]
 
 
-def timed(fn, args_list, iters=4, chain=2):
+def timed(fn, base, kern, iters=4, chain=2):
+    """No per-iteration host->device transfer (relay transfers dominate
+    otherwise): device-resident base + a varying scalar salt."""
     carry = jnp.float32(0.0)
-    for a in args_list[iters:]:
-        carry = fn(carry, *a)
+    for i in range(2):
+        carry = fn(carry, base, kern, jnp.float32(100 + i))
     float(carry)
     times = []
     for rep in range(iters // chain):
         t0 = time.perf_counter()
         for i in range(chain):
-            carry = fn(carry, *args_list[rep * chain + i])
+            carry = fn(carry, base, kern, jnp.float32(rep * chain + i))
         float(carry)
         times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times))
@@ -114,9 +116,9 @@ def conv_program(h, w, cin, cout, k, stride, mode):
     pad = "SAME" if stride == 1 else [((k - 1) // 2, (k - 1) // 2)] * 2
 
     @jax.jit
-    def run(carry, x, kern):
-        acc = jnp.float32(0.0)
-        y = x + carry * 1e-30
+    def run(carry, x, kern, salt):
+        base = x + carry * 1e-30 + salt * 1e-6
+        y = base
         for _ in range(REPEAT):
             if mode == "bf16":
                 o = jax.lax.conv_general_dilated(
@@ -134,9 +136,12 @@ def conv_program(h, w, cin, cout, k, stride, mode):
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.int32)
                 o = (o32.astype(jnp.float32) * (xs * ws)).astype(jnp.bfloat16)
-            acc = acc + jnp.sum(o[:1, :1, :1, :1].astype(jnp.float32))
-            y = x + acc * 1e-30
-        return acc
+            # FULL dependence: channel-reduce needs every output element
+            # (strided convs shrink H/W, so feed the scalar back, computed
+            # from the full map)
+            s = jnp.sum(o.astype(jnp.float32))
+            y = base + s * 1e-30
+        return s
 
     return run
 
@@ -156,14 +161,14 @@ def main():
         w_bytes = 2.0 * k * k * cin * cout
         floor_ms = max(flops / (PEAK_TFLOPS * 1e12),
                        (act_bytes + w_bytes) / (HBM_GBPS * 1e9)) * 1e3
-        x_np = rng.normal(0, 1, (batch, h, w, cin)).astype(np.float32)
-        k_np = rng.normal(0, 0.01, (k, k, cin, cout)).astype(np.float32)
+        base = jnp.asarray(rng.normal(0, 1, (batch, h, w, cin)).astype(
+            np.float32))
+        kern = jnp.asarray(rng.normal(0, 0.01, (k, k, cin, cout)).astype(
+            np.float32))
         row = dict(label=label, count=count, floor_ms=round(floor_ms, 3))
         for mode in modes:
             fn = conv_program(h, w, cin, cout, k, stride, mode)
-            args = [(jnp.asarray(x_np + np.float32(i) * 1e-3),
-                     jnp.asarray(k_np)) for i in range(6)]
-            dt = timed(fn, args) / REPEAT
+            dt = timed(fn, base, kern) / REPEAT
             row[f"{mode}_ms"] = round(dt * 1e3, 3)
             row[f"{mode}_x_floor"] = round(dt * 1e3 / floor_ms, 2)
         rows.append(row)

@@ -26,19 +26,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPEAT = 8
+REPEAT = 64  # convs chained inside one program; per-rep dispatch overhead
+#              ~27 ms / (chain*REPEAT) ≈ 0.2 ms — small convs stay visible
 
 
-def timed(fn, args_list, iters=8, chain=4):
+def timed(fn, base, k, iters=6, chain=2):
+    """Relay-safe timing with NO per-iteration host->device transfer: one
+    device-resident base buffer, a varying SCALAR makes each call's inputs
+    unique (the relay memoizes identical (program, args)); the carry chains
+    calls serially and the scalar fetch forces execution."""
     carry = jnp.float32(0.0)
-    for a in args_list[iters:]:
-        carry = fn(carry, *a)
+    for i in range(2):
+        carry = fn(carry, base, k, jnp.float32(100 + i))
     float(carry)
     times = []
     for rep in range(iters // chain):
         t0 = time.perf_counter()
         for i in range(chain):
-            carry = fn(carry, *args_list[rep * chain + i])
+            carry = fn(carry, base, k, jnp.float32(rep * chain + i))
         float(carry)
         times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times))
@@ -57,31 +62,31 @@ def main():
              ("retina_iou", 9, 128)]
 
     for lvl, (h, w) in enumerate(sizes):
-        x_np = rng.normal(0, 1, (batch, h, w, 256)).astype(np.float32)
+        base = jnp.asarray(rng.normal(0, 1, (batch, h, w, 256)).astype(
+            np.float32))
         for name, oc_real, oc_pad in cases:
             for oc, tag in ((oc_real, "real"), (oc_pad, "padded")):
                 k_np = rng.normal(0, 0.01, (3, 3, 256, oc)).astype(np.float32)
 
                 @jax.jit
-                def run(carry, x, k, oc_real=oc_real, oc=oc):
-                    x = (x + carry * 1e-30).astype(jnp.bfloat16)
+                def run(carry, x, k, salt, oc_real=oc_real, oc=oc):
+                    x = (x + carry * 1e-30 + salt * 1e-6).astype(jnp.bfloat16)
                     k = k.astype(jnp.bfloat16)
-                    acc = jnp.float32(0.0)
                     y = x
                     for _ in range(REPEAT):
                         o = jax.lax.conv_general_dilated(
                             y, k, (1, 1), "SAME",
                             dimension_numbers=("NHWC", "HWIO", "NHWC"))
                         o = o[..., :oc_real]  # slice back (no-op when real)
-                        acc = acc + jnp.sum(o[:1, :1, :1, :1].astype(
-                            jnp.float32))
-                        # keep input alive and dependent
-                        y = x + acc.astype(jnp.bfloat16) * 1e-30
-                    return acc
+                        # FULL dependence: a channel reduce needs every
+                        # output element, so nothing is DCE'd (a single-pixel
+                        # carry lets XLA prune the conv to one output pixel —
+                        # measured 457 "TF/s" > chip peak before this fix)
+                        s = jnp.sum(o, axis=-1, keepdims=True)
+                        y = x + s * 1e-30
+                    return jnp.sum(s[:1, :1, :1, :1].astype(jnp.float32))
 
-                args = [(jnp.asarray(x_np + np.float32(i) * 1e-3),
-                         jnp.asarray(k_np)) for i in range(12)]
-                dt = timed(run, args) / REPEAT
+                dt = timed(run, base, jnp.asarray(k_np)) / REPEAT
                 flops = 2 * batch * h * w * 256 * oc * 9
                 key = f"P{3+lvl}_{name}_{tag}"
                 results[key] = dict(ms=round(dt * 1e3, 3),
