@@ -165,7 +165,14 @@ def test_multiclass_train_to_map_and_class_topk(planted_multiclass_coco,
     # dangerous exactly here: a perturbed logit can flip which classes
     # survive the per-anchor top-k before NMS ever sees them, a failure mode
     # neither factor-test (quant on exact decode / class_topk on exact
-    # convs) can catch.
+    # convs) can catch.  The guard therefore holds QUANT FIXED and compares
+    # production decode vs exact decode — isolating the class-rank-flip
+    # interaction.  (An absolute AP delta vs the bf16 model is NOT asserted:
+    # at this toy scale — 20 px boxes, 32-channel towers — per-tensor w8a8
+    # costs ~1 px of regression accuracy, which alone collapses AP75
+    # 0.72 -> 0.05 while AP50 stays at 0.76; on COCO-scale objects the same
+    # error is ~0.007 IoU.  AP50, which survives the toy-scale quant noise,
+    # is asserted absolutely.)
     from ioudet.ops.quant import calibrate, quantize_calls
     calib_imgs = np.stack([val[i]["img"] for i in range(2)])
     import jax.numpy as jnp2
@@ -174,11 +181,14 @@ def test_multiclass_train_to_map_and_class_topk(planted_multiclass_coco,
         [jnp2.asarray(calib_imgs)])
     assert scales, "calibration collected no conv scales"
     with quantize_calls(act_scale=scales):
+        results_qe = single_device_test(det, params, val,
+                                        imgs_per_batch=8, progress=False)
         results_qp = single_device_test(det_prod, params, val,
                                         imgs_per_batch=8, progress=False)
-    metrics_qp = val.evaluate(results_qp)
-    assert metrics_qp["AP50"] > 0.7, (metrics, metrics_qp)
-    assert abs(metrics_qp["AP"] - metrics["AP"]) < 0.07, \
-        (metrics, metrics_qp)
-    assert abs(metrics_qp["AP50"] - metrics["AP50"]) < 0.07, \
-        (metrics, metrics_qp)
+    metrics_qe = val.evaluate(results_qe)   # quant + exact decode
+    metrics_qp = val.evaluate(results_qp)   # quant + production decode
+    assert metrics_qp["AP50"] > 0.7, (metrics_qe, metrics_qp)
+    assert abs(metrics_qp["AP"] - metrics_qe["AP"]) < 0.05, \
+        (metrics_qe, metrics_qp)
+    assert abs(metrics_qp["AP50"] - metrics_qe["AP50"]) < 0.05, \
+        (metrics_qe, metrics_qp)

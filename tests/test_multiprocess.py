@@ -53,7 +53,7 @@ def mp_outputs(tmp_path_factory):
         for i in range(2)]
     logs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=2400)
         logs.append(out.decode(errors="replace"))
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-4000:]}"

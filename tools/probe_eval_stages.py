@@ -98,8 +98,10 @@ def main():
             outs = det.apply({"params": params}, img + carry * 1e-30 +
                              salt * 1e-6)
         leaves = jax.tree.leaves(outs)
-        return sum(jnp.sum(l[:, :1, :1, :1].astype(jnp.float32) * 0) for
-                   l in leaves) + jnp.sum(leaves[0].astype(jnp.float32))
+        # full reduce of EVERY output: a sliced or zero-multiplied probe
+        # lets XLA dead-code-eliminate entire prediction convs (first run
+        # of this tool measured net > full because of exactly that)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
     @jax.jit
     def run_decode(carry, salt, img):
