@@ -103,7 +103,10 @@ def main():
     # — must be bit-exact vs the unbroken run (ref: mmcv CheckpointHook
     # saves rank-0 only; Runner.resume restores epoch+step+optimizer).
     from ioudet.apis.train import Runner
-    work_dir = out_path + ".wd"
+    # SHARED work_dir (multi-host semantics assume a shared filesystem, as
+    # the reference's rank-0 CheckpointHook does) — deriving it from the
+    # per-worker out_path would hide rank 0's save from rank 1
+    work_dir = os.path.join(os.path.dirname(out_path), "mp_shared_wd")
     runner = Runner(det, step_fn, state3, work_dir, checkpoint_interval=1,
                     mesh=mesh)
     runner.epoch = 0

@@ -117,30 +117,38 @@ def conv_program(h, w, cin, cout, k, stride, mode):
 
     @jax.jit
     def run(carry, x, kern, salt):
-        base = x + carry * 1e-30 + salt * 1e-6
-        y = base
+        # The serial dependence is threaded through the (tiny) KERNEL, not
+        # the activation: rep i+1's kernel = kern + sum(o_i) * 1e-30.  A
+        # full-tensor activation chain (y = x + s*1e-30) costs an extra
+        # elementwise pass over x per rep (~0.5 ms on the big layers — it
+        # swamped every sub-ms layer in the first version); the kernel add
+        # is k*k*cin*cout elements.  The full reduce of o forces every
+        # output element (DCE-proof), and usually fuses into the conv's
+        # epilogue.  (1e-30, not 0.0: a *0 fold would sever the chain.)
+        k = kern + (carry * 1e-30 + salt * 1e-32).astype(kern.dtype)
+        s = jnp.float32(0.0)
         for _ in range(REPEAT):
             if mode == "bf16":
                 o = jax.lax.conv_general_dilated(
-                    y.astype(jnp.bfloat16), kern.astype(jnp.bfloat16),
-                    (stride, stride), pad,
+                    x, k, (stride, stride), pad,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
             else:  # int8 static-scale w8a8 with requant glue
-                xs = jnp.float32(0.05)
-                q = jnp.clip(jnp.round(y / xs), -127, 127).astype(jnp.int8)
+                # xs depends on the chain so the per-rep activation-quant
+                # pass (a real per-layer cost of the production int8 path)
+                # cannot be loop-hoisted
+                xs = jnp.float32(0.05) + s * 1e-30
+                q = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127,
+                             127).astype(jnp.int8)
                 ws = jnp.float32(0.01)
-                kq = jnp.clip(jnp.round(kern / ws), -127,
+                kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ws), -127,
                               127).astype(jnp.int8)
                 o32 = jax.lax.conv_general_dilated(
                     q, kq, (stride, stride), pad,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     preferred_element_type=jnp.int32)
                 o = (o32.astype(jnp.float32) * (xs * ws)).astype(jnp.bfloat16)
-            # FULL dependence: channel-reduce needs every output element
-            # (strided convs shrink H/W, so feed the scalar back, computed
-            # from the full map)
-            s = jnp.sum(o.astype(jnp.float32))
-            y = base + s * 1e-30
+            s = jnp.sum(o, dtype=jnp.float32)
+            k = kern + (s * 1e-30).astype(kern.dtype)
         return s
 
     return run
@@ -162,9 +170,9 @@ def main():
         floor_ms = max(flops / (PEAK_TFLOPS * 1e12),
                        (act_bytes + w_bytes) / (HBM_GBPS * 1e9)) * 1e3
         base = jnp.asarray(rng.normal(0, 1, (batch, h, w, cin)).astype(
-            np.float32))
+            np.float32)).astype(jnp.bfloat16)
         kern = jnp.asarray(rng.normal(0, 0.01, (k, k, cin, cout)).astype(
-            np.float32))
+            np.float32)).astype(jnp.bfloat16)
         row = dict(label=label, count=count, floor_ms=round(floor_ms, 3))
         for mode in modes:
             fn = conv_program(h, w, cin, cout, k, stride, mode)
