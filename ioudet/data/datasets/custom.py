@@ -15,12 +15,12 @@ TPU-relevant departures:
 
 from __future__ import annotations
 
-import random
 from typing import List, Optional
 
 import numpy as np
 
 from ..pipelines.compose import Compose
+from ..rng import sample_rng
 from ..registry import DATASETS
 
 
@@ -101,7 +101,7 @@ class CustomDataset:
 
     def _rand_another(self, idx: int) -> int:
         pool = np.where(self.flag == self.flag[idx])[0]
-        return int(random.choice(pool))
+        return int(sample_rng().choice(list(pool)))
 
     def prepare_train_img(self, idx: int):
         results = dict(img_info=self.img_infos[idx],

@@ -21,6 +21,8 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from .rng import clear_sample_rng, make_sample_rng, set_sample_rng
+
 
 def collate(samples) -> dict:
     """Stack a list of fixed-shape sample dicts into one batch dict."""
@@ -134,21 +136,51 @@ class DataLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+        seed, epoch = self.sampler.seed, self.sampler.epoch
+
+        def fetch(idx):
+            # Deterministic per-(seed, epoch, idx) augmentation stream —
+            # independent of thread interleaving, worker count, and any
+            # other live iterator (see ioudet/data/rng.py).
+            set_sample_rng(make_sample_rng(seed, epoch, int(idx)))
+            try:
+                return self.dataset[int(idx)]
+            finally:
+                clear_sample_rng()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idxs in self.sampler:
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idxs))
-                    q.put(collate(samples))
-            q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idxs in self.sampler:
+                        if stop.is_set():
+                            return
+                        if not _put(collate(list(pool.map(fetch, batch_idxs)))):
+                            return
+            finally:
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Abandoned/closed iterators must not keep drawing samples (they
+            # would waste host CPU and, pre-rng.py, perturbed global RNG).
+            stop.set()
 
 
 def build_dataloader(dataset, imgs_per_gpu: int, workers_per_gpu: int = 2,

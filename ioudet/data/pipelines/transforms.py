@@ -17,7 +17,6 @@ preprocess for inference lives in ioudet/ops/preprocess.py.
 
 from __future__ import annotations
 
-import random
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -30,6 +29,7 @@ except ImportError:  # pragma: no cover - env always ships cv2
     _HAS_CV2 = False
 
 from ..registry import PIPELINES
+from ..rng import sample_rng
 
 
 def imrescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int, float]:
@@ -78,12 +78,12 @@ class Resize:
         if len(self.img_scale) == 1:
             return self.img_scale[0]
         if self.multiscale_mode == "value":
-            return random.choice(self.img_scale)
+            return sample_rng().choice(self.img_scale)
         # 'range': sample the long/short edges uniformly between endpoints
         longs = [max(s) for s in self.img_scale]
         shorts = [min(s) for s in self.img_scale]
-        return (random.randint(min(longs), max(longs)),
-                random.randint(min(shorts), max(shorts)))
+        return (sample_rng().randint(min(longs), max(longs)),
+                sample_rng().randint(min(shorts), max(shorts)))
 
     def __call__(self, results: dict) -> dict:
         img = results["img"]
@@ -119,7 +119,7 @@ class RandomFlip:
         if "flip_override" in results:
             flip = bool(results["flip_override"])
         else:
-            flip = random.random() < self.flip_ratio
+            flip = sample_rng().random() < self.flip_ratio
         results["flip"] = flip
         if flip:
             results["img"] = np.ascontiguousarray(results["img"][:, ::-1])
@@ -258,24 +258,24 @@ class PhotoMetricDistortion:
     def __call__(self, results: dict) -> dict:
         img = results["img"].astype(np.float32)
         order = results.get("channel_order", "bgr")
-        if random.random() < 0.5:
-            img = img + random.uniform(-self.brightness_delta,
+        if sample_rng().random() < 0.5:
+            img = img + sample_rng().uniform(-self.brightness_delta,
                                        self.brightness_delta)
-        mode = random.random() < 0.5  # True: contrast first, False: last
-        if mode and random.random() < 0.5:
-            img = img * random.uniform(*self.contrast_range)
+        mode = sample_rng().random() < 0.5  # True: contrast first, False: last
+        if mode and sample_rng().random() < 0.5:
+            img = img * sample_rng().uniform(*self.contrast_range)
         hsv = self._to_hsv(img, order)
-        if random.random() < 0.5:
-            hsv[..., 1] *= random.uniform(*self.saturation_range)
-        if random.random() < 0.5:
-            hsv[..., 0] += random.uniform(-self.hue_delta, self.hue_delta)
+        if sample_rng().random() < 0.5:
+            hsv[..., 1] *= sample_rng().uniform(*self.saturation_range)
+        if sample_rng().random() < 0.5:
+            hsv[..., 0] += sample_rng().uniform(-self.hue_delta, self.hue_delta)
             hsv[..., 0][hsv[..., 0] > 360] -= 360
             hsv[..., 0][hsv[..., 0] < 0] += 360
         img = self._from_hsv(hsv, order)
-        if not mode and random.random() < 0.5:
-            img = img * random.uniform(*self.contrast_range)
-        if random.random() < 0.5:
-            img = img[..., np.random.permutation(3)]
+        if not mode and sample_rng().random() < 0.5:
+            img = img * sample_rng().uniform(*self.contrast_range)
+        if sample_rng().random() < 0.5:
+            img = img[..., sample_rng().sample(range(3), 3)]
         results["img"] = img
         return results
 
@@ -292,16 +292,16 @@ class Expand:
         self.ratio_range = ratio_range
 
     def __call__(self, results: dict) -> dict:
-        if random.random() < 0.5:
+        if sample_rng().random() < 0.5:
             return results
         img = results["img"]
         fill = (self.mean_rgb
                 if results.get("channel_order", "bgr") == "rgb" else self.mean)
         h, w, c = img.shape
-        ratio = random.uniform(*self.ratio_range)
+        ratio = sample_rng().uniform(*self.ratio_range)
         eh, ew = int(h * ratio), int(w * ratio)
-        top = random.randint(0, eh - h)
-        left = random.randint(0, ew - w)
+        top = sample_rng().randint(0, eh - h)
+        left = sample_rng().randint(0, ew - w)
         canvas = np.empty((eh, ew, c), img.dtype)
         canvas[...] = fill
         canvas[top:top + h, left:left + w] = img
@@ -327,16 +327,16 @@ class MinIoURandomCrop:
         h, w = img.shape[:2]
         boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
         while True:
-            min_iou = random.choice(self.min_ious)
+            min_iou = sample_rng().choice(self.min_ious)
             if min_iou == 1:
                 return results
             for _ in range(50):
-                cw = random.uniform(self.min_crop_size * w, w)
-                ch = random.uniform(self.min_crop_size * h, h)
+                cw = sample_rng().uniform(self.min_crop_size * w, w)
+                ch = sample_rng().uniform(self.min_crop_size * h, h)
                 if ch / cw < 0.5 or ch / cw > 2:
                     continue
-                left = random.uniform(0, w - cw)
-                top = random.uniform(0, h - ch)
+                left = sample_rng().uniform(0, w - cw)
+                top = sample_rng().uniform(0, h - ch)
                 patch = np.array([left, top, left + cw, top + ch])
                 if len(boxes):
                     ix1 = np.maximum(boxes[:, 0], patch[0])
@@ -376,8 +376,8 @@ class RandomCrop:
         h, w = img.shape[:2]
         ch = min(self.crop_size[0], h)
         cw = min(self.crop_size[1], w)
-        top = random.randint(0, h - ch)
-        left = random.randint(0, w - cw)
+        top = sample_rng().randint(0, h - ch)
+        left = sample_rng().randint(0, w - cw)
         results["img"] = img[top:top + ch, left:left + cw]
         results["img_shape"] = (ch, cw)
         if "gt_bboxes" in results and len(results["gt_bboxes"]):
