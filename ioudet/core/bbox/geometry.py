@@ -19,7 +19,13 @@ def take_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     XLA:TPU lowers small-table gathers with a huge index axis to a
     pathologically slow loop (~8 ms for 210k x 4 from a 32-row table on
     v5e, measured); ``one_hot @ table`` rides the MXU and costs ~0.5 ms.
-    Exact for values representable in fp32 (box coords, small int labels).
+    Exact for values representable in fp32 (box coords, small int labels):
+    precision=HIGHEST is REQUIRED — the TPU MXU's default precision
+    multiplies in bf16, which rounds table values to 8 mantissa bits
+    (caught on the real chip by tools/verify_on_tpu.py: ~5e-3 relative
+    error on fetched gt boxes); HIGHEST's bf16x6 decomposition carries all
+    24 fp32 mantissa bits, and a 0/1 one-hot times an exact 3-term split
+    reproduces each table value bit-exactly.
 
     table: (G,) or (G, C); idx: (..., A) int in [0, G).
     Returns table.dtype, shape idx.shape (+ (C,) if table is 2-D).
@@ -27,7 +33,8 @@ def take_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     squeeze = table.ndim == 1
     t2 = table[:, None] if squeeze else table
     oh = jax.nn.one_hot(idx, t2.shape[0], dtype=jnp.float32)
-    out = oh @ t2.astype(jnp.float32)
+    out = jnp.matmul(oh, t2.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     if jnp.issubdtype(table.dtype, jnp.integer):
         out = jnp.round(out)
     out = out.astype(table.dtype)

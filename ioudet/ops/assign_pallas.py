@@ -230,6 +230,9 @@ def fused_anchor_assign(flat_anchors: jnp.ndarray,
     bbox_targets (B,A,4) f32, pos_gt_boxes (B,A,4) f32) — identical to the
     XLA anchor_target_single outputs for the default (no-sampler) path.
     """
+    # reference pos_weight semantics: <= 0 means "weight positives 1.0"
+    # (mmdet anchor_target_single's `if cfg.pos_weight <= 0` branch)
+    pos_weight = 1.0 if pos_weight <= 0 else float(pos_weight)
     A = flat_anchors.shape[0]
     B, G = gt_valid.shape
     blk = ROWS * LANES

@@ -73,19 +73,24 @@ def check_nms():
 
     rng = np.random.default_rng(7)
     n_checked = 0
+    # greedy_keep_pallas (the production multiclass_nms entry) pads any N
+    # internally; the lower-level greedy_nms_pallas / suppression_matrix
+    # require N % 128 == 0 (their callers pad first), so only the padded
+    # sizes exercise those.
     for n, seed in ((128, 0), (100, 1), (256, 2)):
         b = jnp.asarray(sorted_boxes(n, seed))
         valid = jnp.asarray(rng.uniform(size=n) < 0.85)
         keep_x = np.asarray(greedy_suppress(bbox_overlaps(b, b), valid, 0.5))
         np.testing.assert_array_equal(
-            np.asarray(greedy_nms_pallas(b, valid, 0.5)), keep_x)
-        np.testing.assert_array_equal(
             np.asarray(greedy_keep_pallas(b, valid, 0.5)), keep_x)
-        supp = np.asarray(suppression_matrix(b, 0.5))
-        iou = np.asarray(bbox_overlaps(b, b))
-        rows, cols = np.indices(iou.shape)
-        np.testing.assert_array_equal(
-            supp, ((iou > 0.5) & (cols > rows)).astype(np.float32))
+        if n % 128 == 0:
+            np.testing.assert_array_equal(
+                np.asarray(greedy_nms_pallas(b, valid, 0.5)), keep_x)
+            supp = np.asarray(suppression_matrix(b, 0.5))
+            iou = np.asarray(bbox_overlaps(b, b))
+            rows, cols = np.indices(iou.shape)
+            np.testing.assert_array_equal(
+                supp, ((iou > 0.5) & (cols > rows)).astype(np.float32))
         n_checked += 1
     print(json.dumps({"check": "nms_pallas", "cases": n_checked,
                       "exact": True}), flush=True)
