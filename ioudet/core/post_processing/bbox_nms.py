@@ -27,9 +27,79 @@ from ..bbox.geometry import bbox_overlaps
 NEG_INF = jnp.float32(-1e10)
 
 
+def _iter_topk(scores: jnp.ndarray, k: int):
+    """Exact small-k top-k over the last axis by k iterative argmax passes.
+
+    Bit-identical to ``jax.lax.top_k`` (descending values, ties broken by
+    ascending index — argmax returns the FIRST occurrence of the max, and
+    masking it out makes the next pass return the next occurrence).  On TPU
+    ``top_k`` lowers to a full variadic sort of the (128-lane-padded) class
+    axis; for k≪C these k fused max/argmax reduce passes are much cheaper —
+    this is the per-anchor ``class_topk`` hot path (N≈5000 rows, C=80, k=4
+    in the production config).
+    """
+    c = scores.shape[-1]
+    ar = jnp.arange(c, dtype=jnp.int32)
+    s = scores
+    vals, idxs = [], []
+    for _ in range(k):
+        ix = jnp.argmax(s, axis=-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(s, ix[..., None], axis=-1)[..., 0])
+        idxs.append(ix)
+        s = jnp.where(ar == ix[..., None], NEG_INF, s)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
+def _threshold_topk(gated: jnp.ndarray, k: int):
+    """Exact top-k over a 1-D NONNEGATIVE f32 vector without sorting it.
+
+    ``lax.top_k`` on TPU sorts all M elements (M≈20k per image at the
+    production decode) to return k≈2k — the single most expensive non-conv
+    op in the eval program.  This computes the same (values, indices) —
+    bit-identical, including the ties-by-ascending-index rule — in three
+    cheap fixed-shape stages:
+
+      1. binary-search the k-th largest value on the f32 BIT PATTERN
+         (nonnegative floats order identically to their int32 bits): 31
+         unrolled compare+count reduce passes over M elements;
+      2. select the strict-greater survivors plus enough threshold-ties (in
+         index order, matching top_k's tie rule) via one cumsum + scatter
+         compaction to a static k;
+      3. sort only the k survivors (descending value, ascending index) with
+         a 2-key ``lax.sort``.
+
+    Caller must guarantee ``gated >= 0`` (the NMS candidate scores are
+    gated with ``where(ok, s, 0)`` over sigmoid/softmax scores).
+    """
+    m = gated.shape[0]
+    bits = jax.lax.bitcast_convert_type(gated.astype(jnp.float32), jnp.int32)
+    # t = max{v : count(bits >= v) >= k}; domain [0, 0x7F800000] (+inf)
+    lo = jnp.int32(0)
+    hi = jnp.int32(0x7F800000)
+    for _ in range(31):
+        mid = lo + (hi - lo + 1) // 2
+        ge = jnp.sum((bits >= mid).astype(jnp.int32)) >= k
+        lo = jnp.where(ge, mid, lo)
+        hi = jnp.where(ge, hi, mid - 1)
+    t = lo
+    strict = bits > t
+    n_strict = jnp.sum(strict.astype(jnp.int32))
+    tie = bits == t
+    tie_rank = jnp.cumsum(tie.astype(jnp.int32))
+    sel = strict | (tie & (tie_rank <= k - n_strict))
+    pos = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    idx_sel = jnp.zeros((k,), jnp.int32).at[
+        jnp.where(sel, pos, k)].set(jnp.arange(m, dtype=jnp.int32),
+                                    mode="drop")
+    bits_sel = bits[idx_sel]
+    _, idx_sorted = jax.lax.sort((jnp.negative(bits_sel), idx_sel),
+                                 num_keys=2)
+    return gated[idx_sorted], idx_sorted
+
+
 @partial(jax.jit, static_argnames=("score_thr", "iou_thr", "max_per_img",
                                    "pre_nms_total", "nms_type", "class_topk",
-                                   "approx_topk"))
+                                   "approx_topk", "exact_select"))
 def multiclass_nms(multi_bboxes: jnp.ndarray,
                    multi_scores: jnp.ndarray,
                    score_thr: float,
@@ -40,7 +110,8 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                    pre_nms_total: int = 2000,
                    nms_type: str = "nms",
                    class_topk: Optional[int] = None,
-                   approx_topk: bool = False
+                   approx_topk: bool = False,
+                   exact_select: str = "threshold"
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Args:
         multi_bboxes: (N, 4) class-agnostic or (N, C*4) per-class boxes.
@@ -54,6 +125,13 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
             batch 16); pruning to k<<C classes per anchor cuts it ~10x.  An
             anchor's (k+1)-th class entering the final top-100 is vanishingly
             rare (standard TensorRT BatchedNMS-style optimization).
+        exact_select: 'threshold' (default) replaces the two sort-based
+            selections with bit-identical cheaper forms — iterative argmax
+            for the per-anchor class_topk and a binary-search threshold +
+            compaction + small sort for the global pre_nms_total stage
+            (see :func:`_threshold_topk`); 'sort' keeps ``lax.top_k`` for
+            A/B probes.  Outputs are asserted equal in
+            tests/test_nms_select.py.
 
     Returns:
         dets: (max_per_img, 5) [x1, y1, x2, y2, score], zero-padded.
@@ -70,26 +148,28 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     if valid is not None:
         scores = jnp.where(valid[:, None], scores, 0.0)
 
-    if multi_bboxes.shape[-1] == 4:
-        boxes_pc = jnp.broadcast_to(multi_bboxes[:, None, :], (n, num_classes, 4))
-    else:
-        boxes_pc = multi_bboxes.reshape(n, num_classes, 4)
-
+    # Boxes are NEVER materialized per (anchor, class): only the k
+    # pre_nms_total survivors are gathered, directly from the (N, 4) or
+    # (N, C, 4) source — the old path built a (N*C, 4) (or class_topk-
+    # gathered (N, k, 4)) intermediate, ~6.4 MB/image of pure HBM traffic
+    # at the production decode.
+    per_class_boxes = multi_bboxes.shape[-1] != 4
     if class_topk is not None and class_topk < num_classes:
-        # per-anchor class pruning: small-k top_k over the class axis
+        # per-anchor class pruning over the class axis
         if approx_topk:
             cls_scores, cls_idx = jax.lax.approx_max_k(scores, class_topk)
             cls_idx = cls_idx.astype(jnp.int32)
+        elif exact_select == "threshold":
+            cls_scores, cls_idx = _iter_topk(scores, class_topk)  # (N, k)
         else:
-            cls_scores, cls_idx = jax.lax.top_k(scores, class_topk)  # (N, k)
+            cls_scores, cls_idx = jax.lax.top_k(scores, class_topk)
         flat_scores = cls_scores.reshape(-1)                     # (N*k,)
         flat_labels = cls_idx.reshape(-1).astype(jnp.int32)
-        gath = jnp.take_along_axis(boxes_pc, cls_idx[..., None], axis=1)
-        flat_boxes = gath.reshape(-1, 4)
+        sel_div = class_topk
     else:
         flat_scores = scores.reshape(-1)                       # (N*C,)
-        flat_boxes = boxes_pc.reshape(-1, 4)
         flat_labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+        sel_div = num_classes
     ok = flat_scores > score_thr
 
     k = min(pre_nms_total, flat_scores.shape[0])
@@ -97,10 +177,18 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     if approx_topk and flat_scores.shape[0] > k:
         top_scores, top_idx = jax.lax.approx_max_k(gated, k)
         top_idx = top_idx.astype(jnp.int32)
+    elif exact_select == "threshold" and score_thr >= 0:
+        # gated >= 0 holds (scores below a nonnegative score_thr are zeroed)
+        top_scores, top_idx = _threshold_topk(gated, k)
     else:
         top_scores, top_idx = jax.lax.top_k(gated, k)
-    top_boxes = flat_boxes[top_idx]
+    anchor_idx = top_idx // sel_div
     top_labels = flat_labels[top_idx]
+    if per_class_boxes:
+        box_idx = anchor_idx * num_classes + top_labels
+        top_boxes = multi_bboxes.reshape(n * num_classes, 4)[box_idx]
+    else:
+        top_boxes = multi_bboxes[anchor_idx]
     top_valid = top_scores > score_thr
 
     # class offset: boxes of different classes can never overlap

@@ -386,6 +386,7 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
     pre_nms_total = test_cfg.get("pre_nms_total", 2000)
     class_topk = test_cfg.get("class_topk", None)
     approx_topk = bool(test_cfg.get("approx_topk", False))
+    exact_select = test_cfg.get("exact_select", "threshold")
 
     def single(b, s, sf):
         if rescale:
@@ -394,7 +395,8 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
                               max_per_img=max_per_img, nms_type=nms_type,
                               pre_nms_total=pre_nms_total,
                               class_topk=class_topk,
-                              approx_topk=approx_topk)
+                              approx_topk=approx_topk,
+                              exact_select=exact_select)
 
     return jax.vmap(single)(boxes, scores, scale_factors)
 

@@ -60,6 +60,8 @@ def main():
         test_cfg["pre_nms_total"] = int(os.environ["PROBE_PRE_NMS_TOTAL"])
     if os.environ.get("PROBE_NMS_PRE"):
         test_cfg["nms_pre"] = int(os.environ["PROBE_NMS_PRE"])
+    if os.environ.get("PROBE_EXACT_SELECT"):
+        test_cfg["exact_select"] = os.environ["PROBE_EXACT_SELECT"]
     det = build_detector(cfg, TRAIN_CFG, test_cfg)
 
     img0 = jnp.zeros((1,) + canvas + (3,), jnp.float32)
@@ -121,20 +123,27 @@ def main():
                 img_shape, scale, pad_shape, method=det.simple_test)
         return jnp.sum(dets[:, :8].astype(jnp.float32))
 
+    stages = os.environ.get("PROBE_STAGES", "net,decode,full").split(",")
     rows = {}
     for tag, fn in (("net", run_net), ("decode", run_decode),
                     ("full", run_full)):
+        if tag not in stages:
+            continue
         dt = timed(fn, (base,))
         rows[tag] = dt * 1e3
         print(json.dumps({tag + "_ms": round(dt * 1e3, 2),
                           "img_per_s": round(batch / dt, 1)}), flush=True)
-    print(json.dumps({
+    summary = {
         "quant": quant_mode, "batch": batch,
         "class_topk": test_cfg.get("class_topk"),
         "pre_nms_total": test_cfg.get("pre_nms_total", 2000),
         "nms_pre": test_cfg.get("nms_pre"),
-        "decode_minus_net_ms": round(rows["decode"] - rows["net"], 2),
-        "nms_ms": round(rows["full"] - rows["decode"], 2)}))
+        "exact_select": test_cfg.get("exact_select", "threshold")}
+    if "decode" in rows and "net" in rows:
+        summary["decode_minus_net_ms"] = round(rows["decode"] - rows["net"], 2)
+    if "full" in rows and "decode" in rows:
+        summary["nms_ms"] = round(rows["full"] - rows["decode"], 2)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
