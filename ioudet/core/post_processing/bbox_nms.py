@@ -111,7 +111,7 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                    nms_type: str = "nms",
                    class_topk: Optional[int] = None,
                    approx_topk: bool = False,
-                   exact_select: str = "threshold"
+                   exact_select: str = "sort"
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Args:
         multi_bboxes: (N, 4) class-agnostic or (N, C*4) per-class boxes.
@@ -125,13 +125,17 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
             batch 16); pruning to k<<C classes per anchor cuts it ~10x.  An
             anchor's (k+1)-th class entering the final top-100 is vanishingly
             rare (standard TensorRT BatchedNMS-style optimization).
-        exact_select: 'threshold' (default) replaces the two sort-based
-            selections with bit-identical cheaper forms — iterative argmax
-            for the per-anchor class_topk and a binary-search threshold +
-            compaction + small sort for the global pre_nms_total stage
-            (see :func:`_threshold_topk`); 'sort' keeps ``lax.top_k`` for
-            A/B probes.  Outputs are asserted equal in
-            tests/test_nms_select.py.
+        exact_select: selection-algorithm switch, all modes BIT-IDENTICAL
+            (asserted in tests/test_nms_select.py).  'sort' (default) uses
+            ``lax.top_k`` for both selections — measured FASTEST on v5e
+            (79.3 ms full program vs 83.9 for 'threshold', same-day A/B,
+            docs/MODEL_ZOO.md round-5 probes: XLA's tuned sort beats the
+            31-pass binary search's serial latency).  'threshold' routes
+            both stages through the sort-free forms (iterative argmax for
+            class_topk, binary-search threshold + compaction for the flat
+            stage); 'iter_cls' / 'thresh_flat' switch each stage
+            individually for A/B attribution.  Negative result kept
+            opt-in for future-toolchain re-runs.
 
     Returns:
         dets: (max_per_img, 5) [x1, y1, x2, y2, score], zero-padded.
@@ -159,7 +163,7 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
         if approx_topk:
             cls_scores, cls_idx = jax.lax.approx_max_k(scores, class_topk)
             cls_idx = cls_idx.astype(jnp.int32)
-        elif exact_select == "threshold":
+        elif exact_select in ("threshold", "iter_cls"):
             cls_scores, cls_idx = _iter_topk(scores, class_topk)  # (N, k)
         else:
             cls_scores, cls_idx = jax.lax.top_k(scores, class_topk)
@@ -177,7 +181,7 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     if approx_topk and flat_scores.shape[0] > k:
         top_scores, top_idx = jax.lax.approx_max_k(gated, k)
         top_idx = top_idx.astype(jnp.int32)
-    elif exact_select == "threshold" and score_thr >= 0:
+    elif exact_select in ("threshold", "thresh_flat") and score_thr >= 0:
         # gated >= 0 holds (scores below a nonnegative score_thr are zeroed)
         top_scores, top_idx = _threshold_topk(gated, k)
     else:

@@ -386,7 +386,7 @@ def _batched_nms(boxes, scores, scale_factors, test_cfg, rescale: bool):
     pre_nms_total = test_cfg.get("pre_nms_total", 2000)
     class_topk = test_cfg.get("class_topk", None)
     approx_topk = bool(test_cfg.get("approx_topk", False))
-    exact_select = test_cfg.get("exact_select", "threshold")
+    exact_select = test_cfg.get("exact_select", "sort")
 
     def single(b, s, sf):
         if rescale:

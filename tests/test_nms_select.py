@@ -125,16 +125,17 @@ def _random_case(rng, n=600, c=12, per_class_boxes=False):
 class TestMulticlassNmsSelectEquivalence:
     """End-to-end: multiclass_nms(threshold) == multiclass_nms(sort)."""
 
+    @pytest.mark.parametrize("mode", ["threshold", "iter_cls", "thresh_flat"])
     @pytest.mark.parametrize("class_topk", [None, 3])
     @pytest.mark.parametrize("per_class_boxes", [False, True])
-    def test_bit_identical(self, class_topk, per_class_boxes):
+    def test_bit_identical(self, mode, class_topk, per_class_boxes):
         rng = np.random.default_rng(42)
         boxes, scores = _random_case(rng, per_class_boxes=per_class_boxes)
         kw = dict(score_thr=0.05, iou_thr=0.5, max_per_img=50,
                   pre_nms_total=256, class_topk=class_topk)
         d_ref, l_ref = multiclass_nms(boxes, scores, exact_select="sort",
                                       **kw)
-        d, l = multiclass_nms(boxes, scores, exact_select="threshold", **kw)
+        d, l = multiclass_nms(boxes, scores, exact_select=mode, **kw)
         np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
         np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
 
